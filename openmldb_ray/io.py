@@ -1,0 +1,61 @@
+"""Parquet sources with column pruning + small shared helpers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               **kwargs) -> ray.data.Dataset:
+    """Read one testdata table, pruning columns at the read (row-group /
+    column pushdown — a read that loads all columns for a 2-column
+    transform is wrong at 100 TB)."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
+                                 **kwargs)
+
+
+def hash_columns(batch: pa.Table, cols: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic vectorized bucket id from one or more key columns.
+
+    Uses pandas' C hash (fixed default hash_key -> stable across
+    processes and nodes) over only the key columns.
+    """
+    df = batch.select(cols).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def order_to_int64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """ORDER BY axis -> int64 numpy with NULLs as int64 min.
+
+    Timestamps keep their native unit (us for the testdata tables);
+    window range offsets are expressed in the same unit by callers.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        arr = arr.cast(pa.int64())
+    elif not pa.types.is_integer(t):
+        arr = arr.cast(pa.int64())
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if arr.null_count:
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        np_arr = np.where(mask, np.iinfo(np.int64).min, np_arr)
+    return np_arr.astype(np.int64, copy=False)
+
+
+def column_to_float(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Numeric column -> float64 numpy with NULLs as NaN (kernel input)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+        arr = arr.cast(pa.int64())
+    out = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if arr.null_count:
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        out = np.where(mask, np.nan, out)
+    return out

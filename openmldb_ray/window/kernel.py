@@ -1,0 +1,277 @@
+"""Vectorized per-partition window kernel.
+
+Replays the semantics of OpenMLDB's window buffer
+(``HistoryWindow::BufferData``, hybridse/include/vm/mem_catalog.h:385-471)
+over sorted numpy arrays instead of a row-at-a-time deque:
+
+- the "buffer" is the ascending-(ts, tag)-sorted run of one entity;
+- per-row frame bounds come from ``np.searchsorted`` over the run's ts
+  array (O(n log w) for the whole run at once);
+- sum/count/avg (+ _where) are prefix-sum differences (O(n));
+- min/max use a capped sparse table (O(n log w));
+- the frame of row *i* is the contiguous history slice
+  ``[start_i, hist_end_i)`` plus, optionally, row *i* itself
+  (``self_in``) — this representation captures every reference quirk:
+  EXCLUDE CURRENT_TIME removes ts-peers but keeps the current row
+  (mem_catalog.h:459-468), INSTANCE_NOT_IN_WINDOW evaluates but never
+  buffers the current row (runner.cc:1003-1005), end offsets
+  (``BETWEEN .. AND t PRECEDING``) exclude too-recent rows including
+  the current one (mem_catalog.h:414-428), MAXSIZE evicts oldest first
+  (mem_catalog.h:430-457).
+
+WINDOW UNION rows (``is_primary == False``) participate in frames but
+never emit output; at equal ts they sort *before* primary rows because
+the reference buffers union rows before projecting the instance row
+(k-way merge with ``<=``, runner.cc:1521-1541).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openmldb_ray.window.spec import Agg, WindowSpec
+
+_NULL_INT = np.iinfo(np.int64).min
+
+
+def frame_bounds(ts: np.ndarray, spec: WindowSpec):
+    """Per-row frame bounds over one ascending-sorted run.
+
+    Returns ``(start, hist_end, self_in)``:
+      frame(i) = indices [start[i], hist_end[i]) ∪ ({i} if self_in[i]).
+    """
+    n = len(ts)
+    idx = np.arange(n, dtype=np.int64)
+
+    starts = []
+    if spec.preceding_range is not None:
+        side = "right" if spec.open_preceding else "left"
+        starts.append(np.searchsorted(ts, ts - spec.preceding_range, side=side))
+    if spec.preceding_rows is not None:
+        rs = idx - spec.preceding_rows
+        if spec.open_preceding:
+            rs += 1
+        starts.append(np.maximum(rs, 0))
+    # merged frame = union of both frames -> earlier of the two starts
+    start = starts[0] if len(starts) == 1 else np.minimum(starts[0], starts[1])
+    start = np.maximum(start, 0)
+
+    if spec.end_offset_range > 0:
+        end = np.searchsorted(ts, ts - spec.end_offset_range, side="right")
+        self_in = np.zeros(n, dtype=bool)
+    elif spec.end_offset_rows > 0:
+        end = np.maximum(idx - spec.end_offset_rows + 1, 0)
+        self_in = np.zeros(n, dtype=bool)
+    else:
+        end = idx + 1
+        self_in = np.ones(n, dtype=bool)
+        if spec.instance_not_in_window:
+            self_in[:] = False
+
+    if spec.exclude_current_time:
+        tie_start = np.searchsorted(ts, ts, side="left")
+        hist_end = np.minimum(end, tie_start)
+    else:
+        hist_end = np.minimum(end, idx)  # history part never includes self
+    hist_end = np.maximum(hist_end, start)
+
+    if spec.max_size and spec.max_size > 0:
+        cap = spec.max_size - self_in.astype(np.int64)
+        start = np.maximum(start, hist_end - np.maximum(cap, 0))
+
+    return start, hist_end, self_in
+
+
+# ---------------------------------------------------------------- range min/max
+
+
+def _range_reduce(v: np.ndarray, starts: np.ndarray, ends: np.ndarray, op):
+    """Vectorized range-min/max over [starts, ends) via a sparse table
+    whose depth is capped at log2(max frame length)."""
+    n = len(v)
+    m = len(starts)
+    out = np.full(m, np.nan)
+    lens = ends - starts
+    valid = lens > 0
+    if not valid.any() or n == 0:
+        return out
+    maxlen = int(lens[valid].max())
+    nlev = max(1, int(np.ceil(np.log2(maxlen))) + 1) if maxlen > 1 else 1
+    st = [v.astype(np.float64, copy=True)]
+    for k in range(1, nlev):
+        half = 1 << (k - 1)
+        prev = st[-1]
+        if len(prev) <= half:
+            break
+        st.append(op(prev[:-half], prev[half:]))
+    levels = np.zeros(m, dtype=np.int64)
+    levels[valid] = np.floor(np.log2(lens[valid])).astype(np.int64)
+    levels = np.minimum(levels, len(st) - 1)
+    for k in np.unique(levels[valid]):
+        mask = valid & (levels == k)
+        w = 1 << int(k)
+        s = starts[mask]
+        e = ends[mask] - w
+        out[mask] = op(st[int(k)][s], st[int(k)][np.maximum(e, s)])
+    return out
+
+
+def _combine_self(hist: np.ndarray, selfv: np.ndarray, self_in: np.ndarray, op):
+    out = hist.copy()
+    both = self_in & ~np.isnan(selfv)
+    take_self = both & np.isnan(out)
+    out[take_self] = selfv[take_self]
+    merge = both & ~np.isnan(hist)
+    out[merge] = op(out[merge], selfv[merge])
+    return out
+
+
+# ---------------------------------------------------------------- aggregation
+
+
+def _to_float_with_nan(v: np.ndarray) -> np.ndarray:
+    """float64 copy with NULLs as NaN (input may be a masked float array
+    already, or an int array paired with an explicit null mask upstream)."""
+    return v.astype(np.float64)
+
+
+def eval_aggs(
+    ts: np.ndarray,
+    values: dict[str, np.ndarray],
+    aggs: list[Agg],
+    spec: WindowSpec,
+    is_primary: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
+    """Evaluate all aggregates for one sorted run.
+
+    ``values[col]`` must be float64 with NaN for NULL (callers convert);
+    ``where`` columns are bool. Returns full-length arrays (callers mask
+    non-primary rows out).
+    """
+    n = len(ts)
+    start, hist_end, self_in = frame_bounds(ts, spec)
+    out: dict[str, np.ndarray] = {}
+
+    # cache prefix structures per (col, where) pair
+    pref_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+    def prefixes(col: str, where: str | None):
+        key = (col, where)
+        if key not in pref_cache:
+            v = values[col]
+            ok = ~np.isnan(v)
+            if where is not None:
+                ok = ok & values[where].astype(bool)
+            filled = np.where(ok, v, 0.0)
+            psum = np.concatenate(([0.0], np.cumsum(filled)))
+            pcnt = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+            pref_cache[key] = (psum, pcnt)
+        return pref_cache[key]
+
+    def masked_vals(col: str, where: str | None):
+        v = values[col]
+        if where is None:
+            return v
+        return np.where(values[where].astype(bool), v, np.nan)
+
+    for a in aggs:
+        f = a.func
+        base = f[:-6] if f.endswith("_where") else f
+        where = a.where if f.endswith("_where") else None
+
+        if base == "count" and a.col is None and where is None:
+            # count(*): frame row count
+            cnt = (hist_end - start) + self_in.astype(np.int64)
+            out[a.name] = cnt.astype(np.float64)
+        elif base in ("sum", "count", "avg"):
+            psum, pcnt = prefixes(a.col, where)
+            hsum = psum[hist_end] - psum[start]
+            hcnt = pcnt[hist_end] - pcnt[start]
+            v = values[a.col]
+            sok = self_in & ~np.isnan(v)
+            if where is not None:
+                sok = sok & values[where].astype(bool)
+            tsum = hsum + np.where(sok, np.nan_to_num(v), 0.0)
+            tcnt = hcnt + sok.astype(np.int64)
+            if base == "count":
+                out[a.name] = tcnt.astype(np.float64)
+            elif base == "sum":
+                r = tsum.copy()
+                r[tcnt == 0] = np.nan
+                out[a.name] = r
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    r = tsum / tcnt
+                r[tcnt == 0] = np.nan
+                out[a.name] = r
+        elif base in ("min", "max"):
+            op = np.minimum if base == "min" else np.maximum
+            mv = masked_vals(a.col, where)
+            # NaNs poison the sparse table -> replace with +/- inf sentinel
+            sent = np.inf if base == "min" else -np.inf
+            mv_f = np.where(np.isnan(mv), sent, mv)
+            hist = _range_reduce(mv_f, start, hist_end, op)
+            hist[np.isinf(hist)] = np.nan  # all-null range
+            selfv = np.where(self_in, mv, np.nan)
+            out[a.name] = _combine_self(hist, selfv, self_in, op)
+        elif base == "distinct_count":
+            v = values[a.col]
+            res = np.zeros(n, dtype=np.float64)
+            for i in range(n):
+                sl = v[start[i]:hist_end[i]]
+                items = sl[~np.isnan(sl)]
+                if self_in[i] and not np.isnan(v[i]):
+                    items = np.concatenate((items, v[i:i + 1]))
+                res[i] = len(np.unique(items))
+            out[a.name] = res
+        elif base in ("lag", "at"):
+            # value k buffer-rows before the current row, NULL outside the
+            # frame (window_functions_def.cc:96-156; lag aliases at :146)
+            idx = np.arange(n, dtype=np.int64)
+            pos = idx - a.k
+            in_hist = (pos >= start) & (pos < hist_end)
+            is_self = (pos == idx) & self_in
+            ok = in_hist | is_self
+            res = np.full(n, np.nan)
+            v = values[a.col]
+            res[ok] = v[np.clip(pos[ok], 0, n - 1)]
+            out[a.name] = res
+        elif base == "first_value":
+            # OpenMLDB quirk: first_value == at(col, 0) == NEWEST frame row
+            # (window_functions_def.cc:154)
+            idx = np.arange(n, dtype=np.int64)
+            newest = np.where(self_in, idx, hist_end - 1)
+            ok = newest >= start
+            res = np.full(n, np.nan)
+            v = values[a.col]
+            res[ok] = v[np.clip(newest[ok], 0, n - 1)]
+            out[a.name] = res
+        elif base == "last_value_in_frame":
+            # oldest frame row (start index), standard-SQL first_value analog
+            ok = (hist_end > start) | self_in
+            oldest = np.where(hist_end > start, start, np.arange(n))
+            res = np.full(n, np.nan)
+            v = values[a.col]
+            res[ok] = v[np.clip(oldest[ok], 0, n - 1)]
+            out[a.name] = res
+        elif base == "row_number":
+            if is_primary is None:
+                out[a.name] = np.arange(1, n + 1, dtype=np.float64)
+            else:
+                out[a.name] = np.cumsum(is_primary.astype(np.int64)).astype(
+                    np.float64
+                )
+        elif base == "top1_ratio":
+            v = values[a.col]
+            res = np.full(n, np.nan)
+            for i in range(n):
+                sl = list(v[start[i]:hist_end[i]][~np.isnan(v[start[i]:hist_end[i]])])
+                if self_in[i] and not np.isnan(v[i]):
+                    sl.append(v[i])
+                if sl:
+                    vals, cnts = np.unique(sl, return_counts=True)
+                    res[i] = cnts.max() / len(sl)
+            out[a.name] = res
+        else:
+            raise NotImplementedError(f"window func {f}")
+    return out

@@ -1,0 +1,96 @@
+"""Dataset-level window_agg vs DuckDB SQL on the events table."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from openmldb_ray.window import Agg, WindowSpec, window_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return con.execute(sql).df()
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    return ray.data.read_parquet(f"{SF}/events.parquet",
+                                 columns=["event_id", "user_id", "ts", "value"])
+
+
+def _cmp(got: pd.DataFrame, exp: pd.DataFrame, keys, float_cols):
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in float_cols:
+        np.testing.assert_allclose(got[c].to_numpy(dtype=float),
+                                   exp[c].to_numpy(dtype=float),
+                                   rtol=1e-9, err_msg=c)
+
+
+def test_rows_frame_vs_duckdb(events):
+    spec = WindowSpec("user_id", "ts", preceding_rows=5)
+    aggs = [Agg("sum", "value", "s5"), Agg("count", "value", "c5"),
+            Agg("min", "value", "mn5"), Agg("max", "value", "mx5"),
+            Agg("avg", "value", "a5")]
+    got = window_agg(events, spec, aggs,
+                     passthrough=["event_id", "user_id", "ts"],
+                     num_buckets=8).to_pandas()
+    exp = _duck("""
+      SELECT event_id, user_id, ts,
+        sum(value) OVER w AS s5, count(value) OVER w AS c5,
+        min(value) OVER w AS mn5, max(value) OVER w AS mx5,
+        avg(value) OVER w AS a5
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)""")
+    _cmp(got, exp, ["event_id"], ["s5", "c5", "mn5", "mx5", "a5"])
+
+
+def test_range_frame_vs_duckdb(events):
+    # 1 hour in native microsecond units
+    spec = WindowSpec("user_id", "ts", preceding_range=3_600_000_000)
+    aggs = [Agg("sum", "value", "s"), Agg("count", None, "n")]
+    got = window_agg(events, spec, aggs,
+                     passthrough=["event_id", "user_id", "ts"],
+                     num_buckets=8).to_pandas()
+    exp = _duck("""
+      SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+    _cmp(got, exp, ["event_id"], ["s", "n"])
+
+
+def test_window_union_buffer_only(ray_session):
+    """Union rows feed frames but never emit (WindowAggPlan.scala:598-601)."""
+    prim = ray.data.from_items(
+        [{"k": "a", "ts": t, "v": 1.0} for t in (10, 20, 30)])
+    sec = ray.data.from_items(
+        [{"k": "a", "ts": t, "v": 100.0} for t in (15, 20, 25)])
+    spec = WindowSpec("k", "ts", preceding_range=10)
+    got = window_agg(prim, spec, [Agg("sum", "v", "s")],
+                     union_ds=[sec], passthrough=["k", "ts"],
+                     num_buckets=2).to_pandas().sort_values("ts")
+    # ts=10: [10] -> 1 ; ts=20: 10,15,20(union first),20 -> 1+100+100+1=202
+    # ts=30: 20,20u,25,30 -> 1+100+100+1 = 202
+    assert got["s"].tolist() == [1.0, 202.0, 202.0]
+    assert len(got) == 3  # union rows never emitted
+
+
+def test_null_negative_order_keys_dropped(ray_session):
+    ds = ray.data.from_items(
+        [{"k": "a", "ts": 5, "v": 1.0}, {"k": "a", "ts": -3, "v": 2.0},
+         {"k": "a", "ts": None, "v": 3.0}, {"k": "a", "ts": 9, "v": 4.0}])
+    spec = WindowSpec("k", "ts", preceding_rows=10)
+    got = window_agg(ds, spec, [Agg("sum", "v", "s")],
+                     num_buckets=2).to_pandas().sort_values("ts")
+    assert len(got) == 2
+    assert got["s"].tolist() == [1.0, 5.0]

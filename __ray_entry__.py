@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() / queries() / oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() anywhere in the import path or the callables.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every queries() entry is a Ray-Data pipeline from openmldb_ray; every
+oracle_sql() entry is the ANSI-SQL equivalent DuckDB runs on the same
+parquet views. Output column names/dtypes match pairwise (the driver
+hash-compares values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +14,689 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HOUR_US = 3_600_000_000
+MIN_US = 60_000_000
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: corpus derivation -> position axis -> ROWS + ROWS_RANGE
+    window features -> as-of LAST JOIN -> token arrays re-joined."""
+    from openmldb_ray.pipelines.corpus import flagship
+    return flagship("/root/testdata/sf0.001", num_buckets=16,
+                    include_tokens=True)
+
+
+# --------------------------------------------------------------- queries
+
+def _q_window_rows(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=5)
+    return window_agg(ev, spec, [
+        Agg("sum", "value", "s5"), Agg("count", "value", "c5"),
+        Agg("min", "value", "mn5"), Agg("max", "value", "mx5"),
+        Agg("avg", "value", "a5")],
+        passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_window_range(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_window_rows_between(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=8, end_offset_rows=2)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_window_range_between(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=2 * HOUR_US,
+                      end_offset_range=30 * MIN_US)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_window_where(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_flag(t: pa.Table) -> pa.Table:
+        return t.append_column("big", pc.greater(t["value"], 50.0))
+    ev = ev.map_batches(add_flag, batch_format="pyarrow")
+    spec = WindowSpec("user_id", "ts", preceding_rows=10)
+    return window_agg(ev, spec, [
+        Agg("sum_where", "value", "sw", where="big"),
+        Agg("count_where", "value", "cw", where="big"),
+        Agg("avg_where", "value", "aw", where="big"),
+        Agg("min_where", "value", "mnw", where="big"),
+        Agg("max_where", "value", "mxw", where="big")],
+        passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_window_union(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+    prim = ev.filter(expr="event_type != 'click'") \
+        .select_columns(["event_id", "user_id", "ts", "value"])
+    sec = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US)
+    return window_agg(prim, spec, [Agg("sum", "value", "s"),
+                                   Agg("count", None, "n")],
+                      union_ds=[sec],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_lag_lead(sf_dir):
+    from openmldb_ray.ops.session import shift
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    sh = shift(ev, "user_id", "ts",
+               {"lag1": ("value", 1), "lag3": ("value", 3),
+                "lead2": ("value", -2)})
+    spec = WindowSpec("user_id", "ts", preceding_rows=0)
+    return window_agg(sh, spec, [Agg("row_number", None, "rn")],
+                      passthrough=["event_id", "user_id", "ts",
+                                   "lag1", "lag3", "lead2"])
+
+
+def _q_sessionize(sf_dir):
+    from openmldb_ray.ops.session import sessionize
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ev, "user_id", "ts", gap=30 * MIN_US)
+
+
+def _q_backfill(sf_dir):
+    from openmldb_ray.ops.session import backfill
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t["event_type"], "view"), t["value"],
+                       pa.nulls(t.num_rows, pa.float64()))
+        return t.append_column("value_view", v)
+    ev = ev.map_batches(mask, batch_format="pyarrow") \
+        .select_columns(["event_id", "user_id", "ts", "value_view"])
+    out = backfill(ev, "user_id", "ts", ["value_view"], suffix="_f")
+    return out.select_columns(["event_id", "user_id", "ts", "value_view_f"]) \
+        .rename_columns({"value_view_f": "value_filled"})
+
+
+def _q_last_join_asof(sf_dir):
+    from openmldb_ray.joins import last_join
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+    left = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"])
+    return last_join(left, right, on="user_id", order_by="ts",
+                     left_ts="ts", payload=["value"])
+
+
+def _q_last_join_unique(sf_dir):
+    from openmldb_ray.joins import last_join
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    right = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return last_join(left, right, on="o_custkey", right_on="c_custkey",
+                     payload=["c_name", "c_acctbal"])
+
+
+def _q_last_join_orderby(sf_dir):
+    from openmldb_ray.joins import last_join
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"])
+    right = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"])
+    left = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return last_join(left, right, on="c_custkey", right_on="user_id",
+                     order_by="ts", payload=["value"])
+
+
+def _q_groupby_agg(sf_dir):
+    from ray.data.aggregate import Count, Mean, Sum
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return (t.append_column("disc_price", disc)
+                 .append_column("charge", charge))
+    li = li.map_batches(derive, batch_format="pyarrow")
+    return li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Sum("charge", alias_name="sum_charge"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"))
+
+
+def _q_filter_project(sf_dir):
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                    pc.less_equal(t["l_discount"], 0.07)),
+            pc.less(t["l_quantity"], 24.0))
+        t = t.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": rev,
+            "rf": pc.utf8_upper(t["l_returnflag"]),
+        })
+    return li.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_sort_limit(sf_dir):
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return o.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+
+
+def _q_distinct(sf_dir):
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def head1(g):
+        return g.head(1)
+    head1.__name__ = "distinct_head"
+    return li.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        head1, batch_format="pandas")
+
+
+def _q_left_join(sf_dir):
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    j = o.join(c, join_type="left_outer", num_partitions=16,
+               on=("o_custkey",), right_on=("c_custkey",))
+    return j.select_columns(["o_orderkey", "o_custkey", "o_totalprice",
+                             "c_name", "c_mktsegment"])
+
+
+def _q_scalar_string_math(sf_dir):
+    from openmldb_ray.functions import scalar as F
+    p = _read(sf_dir, "part",
+              ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+               "p_retailprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "name_up": F.upper(t["p_name"]),
+            "brand5": F.substring(t["p_brand"], 1, 5),
+            "type_len": pc.cast(F.char_length(t["p_type"]), pa.int64()),
+            "size_dev": pc.cast(F.abs_(pc.subtract(t["p_size"], 25)),
+                                pa.int64()),
+            # DuckDB round(): ties away from zero
+            "price_r": F.round_(t["p_retailprice"], ndigits=0,
+                                round_mode="half_towards_infinity"),
+            "brand_type": F.concat_ws("-", t["p_brand"], t["p_type"]),
+        })
+    return p.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_scalar_datetime(sf_dir):
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: Sunday=0; Arrow day_of_week: Monday=0
+        dw = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False)
+        dow = pa.array((dw + 1) % 7, type=pa.int64())
+        return pa.table({
+            "event_id": t["event_id"],
+            "y": pc.cast(pc.year(t["ts"]), pa.int64()),
+            "mo": pc.cast(pc.month(t["ts"]), pa.int64()),
+            "d": pc.cast(pc.day(t["ts"]), pa.int64()),
+            "h": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            "mi": pc.cast(pc.minute(t["ts"]), pa.int64()),
+            "dow": dow,
+        })
+    return ev.map_batches(fn, batch_format="pyarrow")
+
+
+def _corpus_feats(sf_dir):
+    from openmldb_ray.pipelines.corpus import (add_position_axis,
+                                               build_corpus, corpus_features)
+    corpus = build_corpus(sf_dir)
+    with_ts = add_position_axis(corpus)
+    return corpus_features(with_ts, num_buckets=16)
+
+
+def _cast_ntok(ds):
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n_tok")
+        return t.set_column(i, "n_tok", pc.cast(t["n_tok"], pa.int32()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_corpus_features(sf_dir):
+    return _cast_ntok(_corpus_feats(sf_dir))
+
+
+def _q_corpus_asof(sf_dir):
+    from openmldb_ray.pipelines.corpus import flagship
+    return _cast_ntok(flagship(sf_dir, num_buckets=16))
+
+
+def _q_token_count(sf_dir):
+    from openmldb_ray.ops.text import TokenCount, with_text_features
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = with_text_features(docs, [TokenCount])
+    return out.select_columns(["doc_id", "n_words"])
+
+
+def _q_text_quality(sf_dir):
+    from openmldb_ray.ops.text import QualityScore, with_text_features
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = with_text_features(docs, [QualityScore])
+    return out.select_columns(["doc_id", "n_chars", "n_words",
+                               "avg_word_len", "digit_ratio", "punct_ratio"])
+
+
+def _q_dedup_exact(sf_dir):
+    from openmldb_ray.ops.dedup import dedup_exact
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = dedup_exact(docs, "text", "doc_id")
+    return out.select_columns(["doc_id", "source"])
+
+
+def _q_langid(sf_dir):
+    from openmldb_ray.ops.text import LangId, with_text_features
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_text_features(docs, [LangId]).select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def _q_fingerprint(sf_dir):
+    from openmldb_ray.ops.text import Fingerprint, with_text_features
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = with_text_features(docs, [Fingerprint])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pc.cast(
+                             pc.bit_wise_and(t["fingerprint"],
+                                             np.uint64((1 << 63) - 1)),
+                             pa.int64())})
+    return out.map_batches(fn, batch_format="pyarrow")
+
+
+def _ann_queries(sf_dir):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, 4)
+    qm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return t["vec_id"].to_pylist(), qm
+
+
+def _q_ann_bruteforce(sf_dir):
+    from openmldb_ray.ops.ann import knn_bruteforce
+    qids, qm = _ann_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(emb, qm, qids, k=10)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "rank": t["rank"],
+            "sim_r": pc.round(t["cosine_sim"], ndigits=4),
+        })
+    return out.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_ann_lsh(sf_dir):
+    from openmldb_ray.ops.ann import knn_lsh
+    qids, qm = _ann_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh(emb, qm, qids, k=10)
+
+
+def _q_minhash_pairs(sf_dir):
+    from openmldb_ray.ops.dedup import minhash_duplicate_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_duplicate_pairs(docs, jaccard_threshold=0.5)
+
+
+def _q_simhash(sf_dir):
+    from openmldb_ray.ops.dedup import simhash_signatures
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_signatures(docs)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pc.cast(
+                             pc.bit_wise_and(t["simhash"],
+                                             np.uint64((1 << 63) - 1)),
+                             pa.int64())})
+    return out.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_multimodal_decode(sf_dir):
+    from openmldb_ray.ops.multimodal import decode_stage
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payload = pc.cast(t["text"], pa.binary())
+        return pa.table({"media_id": pc.cast(t["doc_id"], pa.string()),
+                         "doc_id": t["doc_id"],
+                         "payload": payload})
+    media = docs.map_batches(to_binary, batch_format="pyarrow")
+    out = decode_stage(media, batch_size=256)
+    return out.select_columns(["doc_id", "payload_bytes"])
+
+
+def _q_window_maxsize(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=4 * HOUR_US,
+                      max_size=5)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "window_rows": _q_window_rows,
+        "window_range": _q_window_range,
+        "window_rows_between": _q_window_rows_between,
+        "window_range_between": _q_window_range_between,
+        "window_where": _q_window_where,
+        "window_union": _q_window_union,
+        "window_maxsize": _q_window_maxsize,
+        "lag_lead": _q_lag_lead,
+        "sessionize": _q_sessionize,
+        "backfill": _q_backfill,
+        "last_join_asof": _q_last_join_asof,
+        "last_join_unique": _q_last_join_unique,
+        "last_join_orderby": _q_last_join_orderby,
+        "groupby_agg": _q_groupby_agg,
+        "filter_project": _q_filter_project,
+        "sort_limit": _q_sort_limit,
+        "distinct": _q_distinct,
+        "left_join": _q_left_join,
+        "scalar_string_math": _q_scalar_string_math,
+        "scalar_datetime": _q_scalar_datetime,
+        "corpus_features": _q_corpus_features,
+        "corpus_asof": _q_corpus_asof,
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "dedup_exact": _q_dedup_exact,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT source || '-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+           AS n_tok,
+         source
+  FROM documents),
+wts AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS ts
+  FROM corpus),
+feats AS (
+  SELECT doc_id, source, ts, n_tok,
+    CAST(sum(n_tok) OVER w100 AS DOUBLE)  AS sum_tok_100r,
+    CAST(avg(n_tok) OVER w100 AS DOUBLE)  AS avg_tok_100r,
+    CAST(max(n_tok) OVER w100 AS DOUBLE)  AS max_tok_100r,
+    count(*) OVER w100                    AS cnt_100r,
+    CAST(sum(n_tok) OVER w50k AS DOUBLE)  AS sum_tok_50k,
+    CAST(min(n_tok) OVER w50k AS DOUBLE)  AS min_tok_50k,
+    count(*) OVER w50k                    AS cnt_50k
+  FROM wts
+  WINDOW
+    w100 AS (PARTITION BY source ORDER BY ts
+             ROWS BETWEEN 100 PRECEDING AND CURRENT ROW),
+    w50k AS (PARTITION BY source ORDER BY ts
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "window_rows": """
+          SELECT event_id, user_id, ts,
+            sum(value) OVER w AS s5, count(value) OVER w AS c5,
+            min(value) OVER w AS mn5, max(value) OVER w AS mx5,
+            avg(value) OVER w AS a5
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)""",
+        "window_range": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)""",
+        "window_rows_between": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 8 PRECEDING AND 2 PRECEDING)""",
+        "window_range_between": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                       AND INTERVAL 30 MINUTE PRECEDING)""",
+        "window_where": """
+          SELECT event_id, user_id, ts,
+            sum(CASE WHEN value > 50 THEN value END) OVER w AS sw,
+            count(CASE WHEN value > 50 THEN value END) OVER w AS cw,
+            avg(CASE WHEN value > 50 THEN value END) OVER w AS aw,
+            min(CASE WHEN value > 50 THEN value END) OVER w AS mnw,
+            max(CASE WHEN value > 50 THEN value END) OVER w AS mxw
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+        "window_union": """
+          SELECT event_id, user_id, ts, s, n FROM (
+            SELECT event_id, user_id, ts,
+                   (event_type <> 'click') AS is_primary,
+                   sum(value) OVER w AS s, count(*) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW))
+          WHERE is_primary""",
+        "lag_lead": """
+          SELECT event_id, user_id, ts,
+            lag(value, 1) OVER w AS lag1, lag(value, 3) OVER w AS lag3,
+            lead(value, 2) OVER w AS lead2,
+            row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "sessionize": """
+          SELECT event_id, user_id, ts,
+            CAST(sum(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM (SELECT event_id, user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)""",
+        "backfill": """
+          SELECT event_id, user_id, ts,
+            last_value(CASE WHEN event_type = 'view' THEN value END
+                       IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS value_filled
+          FROM events""",
+        "last_join_asof": """
+          SELECT l.event_id, l.user_id, l.ts, r.value AS value
+          FROM (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click') l
+          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                          WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "last_join_unique": """
+          SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+        "last_join_orderby": """
+          SELECT c_custkey, c_name, r.value AS value
+          FROM customer LEFT JOIN (
+            SELECT user_id, value FROM (
+              SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC) AS rn
+              FROM events WHERE event_type = 'purchase')
+            WHERE rn = 1) r
+          ON c_custkey = r.user_id""",
+        "groupby_agg": """
+          SELECT l_returnflag, l_linestatus,
+            sum(l_quantity) AS sum_qty,
+            sum(l_extendedprice) AS sum_base_price,
+            sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+            sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+              AS sum_charge,
+            avg(l_quantity) AS avg_qty,
+            avg(l_extendedprice) AS avg_price,
+            avg(l_discount) AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""",
+        "filter_project": """
+          SELECT l_orderkey, l_linenumber,
+                 l_extendedprice * (1 - l_discount) AS revenue,
+                 upper(l_returnflag) AS rf
+          FROM lineitem
+          WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        "sort_limit": """
+          SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "distinct": """
+          SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+        "left_join": """
+          SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+        "scalar_string_math": """
+          SELECT p_partkey,
+                 upper(p_name) AS name_up,
+                 substring(p_brand, 1, 5) AS brand5,
+                 length(p_type) AS type_len,
+                 CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+                 round(p_retailprice, 0) AS price_r,
+                 p_brand || '-' || p_type AS brand_type
+          FROM part""",
+        "scalar_datetime": """
+          SELECT event_id,
+                 year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+                 hour(ts) AS h, minute(ts) AS mi,
+                 dayofweek(ts) AS dow
+          FROM events""",
+        "corpus_features": _CORPUS_CTE + "SELECT * FROM feats",
+        "corpus_asof": _CORPUS_CTE + """
+          , dim AS (
+            SELECT source, ts AS dim_ts, CAST(n_tok AS BIGINT) AS payload
+            FROM wts
+            WHERE CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS INTEGER)
+                  % 7 = 0)
+          SELECT f.*, d.payload
+          FROM feats f
+          ASOF LEFT JOIN dim d
+            ON f.source = d.source AND f.ts >= d.dim_ts""",
+        "token_count": """
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                      AS BIGINT) AS n_words
+          FROM documents""",
+        "text_quality": """
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+              AS n_words,
+            (length(text) - greatest(
+               len(regexp_split_to_array(trim(text), '\\s+')) - 1, 0))
+              / CAST(greatest(
+                  len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                AS DOUBLE) AS avg_word_len,
+            len(regexp_extract_all(text, '[0-9]'))
+              / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+            len(regexp_extract_all(text, '[.,;:!?]'))
+              / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+          FROM documents""",
+        "dedup_exact": """
+          SELECT doc_id, source FROM documents
+          QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
+        "multimodal_decode": """
+          SELECT doc_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+          FROM documents""",
+        "ann_bruteforce": """
+          WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 4),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS sim
+            FROM q CROSS JOIN embeddings e),
+          ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, rank, round(sim, 4) AS sim_r
+          FROM ranked WHERE rank <= 10""",
+        # window_maxsize, langid, fingerprint, ann_lsh, minhash_pairs,
+        # simhash: non-ANSI-SQL-expressible (MAXSIZE frame cap, heuristic
+        # model, FNV hashing, LSH) -> rows-only checks.
+    }

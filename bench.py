@@ -1,0 +1,195 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Pipelines benched (inputs: $GRAFT_SF_DIR testdata + a cached
+deterministic synthetic corpus, FIXTURES F1):
+
+  corpus_flagship  synthetic corpus parquet -> position axis -> ROWS +
+                   ROWS_RANGE window features -> as-of LAST JOIN ->
+                   parquet sink with lineage manifests (BASELINE.md
+                   workload; sequences/sec headline)
+  window_events    5-agg ROWS window over events
+  asof_events      click->purchase as-of LAST JOIN over events
+  dedup_exact      content-hash dedup over documents
+  ann_bruteforce   cosine top-10 over embeddings
+
+`python bench.py --scaling` runs corpus_flagship in two fresh
+processes (RAY_GRAFT_CPUS=8 and =32) on the SAME input and reports
+both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
+CORPUS_CACHE = f"/tmp/openmldb_ray_bench/corpus_{BENCH_DOCS}"
+OUT_DIR = "/tmp/openmldb_ray_bench/out"
+
+
+def _prepare_corpus() -> str:
+    from openmldb_ray.pipelines.synth import synth_corpus_parquet
+    return synth_corpus_parquet(CORPUS_CACHE, BENCH_DOCS)
+
+
+def bench_corpus_flagship() -> tuple[float, int]:
+    import ray.data
+    from openmldb_ray.pipelines.corpus import run_flagship
+    from openmldb_ray.state.checkpoint import checkpoint
+    path = _prepare_corpus()
+    out = OUT_DIR + "/flagship"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    corpus = ray.data.read_parquet(path, file_extensions=["parquet"],
+                                   columns=["doc_id", "n_tok", "source"])
+    res = run_flagship(corpus, num_buckets=max(64, NUM_CPUS * 4))
+    checkpoint(res, out, force=True)
+    wall = time.time() - t0
+    with open(out + "/_SUCCESS") as fh:
+        rows = json.loads(fh.read())["rows"]
+    return wall, rows
+
+
+def bench_window_events() -> tuple[float, int]:
+    import ray.data
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    t0 = time.time()
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=50)
+    out = window_agg(ev, spec, [
+        Agg("sum", "value", "s"), Agg("avg", "value", "a"),
+        Agg("min", "value", "mn"), Agg("max", "value", "mx"),
+        Agg("count", None, "n")],
+        passthrough=["event_id", "user_id", "ts"],
+        num_buckets=max(32, NUM_CPUS * 2))
+    rows = out.count()
+    return time.time() - t0, rows
+
+
+def bench_asof_events() -> tuple[float, int]:
+    import ray.data
+    from openmldb_ray.joins import last_join
+    t0 = time.time()
+    ev = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"])
+    left = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"])
+    out = last_join(left, right, on="user_id", order_by="ts",
+                    left_ts="ts", payload=["value"])
+    rows = out.count()
+    return time.time() - t0, rows
+
+
+def bench_dedup_exact() -> tuple[float, int]:
+    import ray.data
+    from openmldb_ray.ops.dedup import dedup_exact
+    t0 = time.time()
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    rows = dedup_exact(docs, "text", "doc_id").count()
+    return time.time() - t0, rows
+
+
+def bench_ann() -> tuple[float, int]:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from openmldb_ray.ops.ann import knn_bruteforce
+    t0 = time.time()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    qm = np.array(t.slice(0, 16)["embedding"].to_pylist(), dtype=np.float64)
+    qids = t.slice(0, 16)["vec_id"].to_pylist()
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    rows = knn_bruteforce(emb, qm, qids, k=10).count()
+    return time.time() - t0, rows
+
+
+def run_all() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    benches = {
+        "corpus_flagship": bench_corpus_flagship,
+        "window_events": bench_window_events,
+        "asof_events": bench_asof_events,
+        "dedup_exact": bench_dedup_exact,
+        "ann_bruteforce": bench_ann,
+    }
+    queries, rows_out = {}, {}
+    for name, fn in benches.items():
+        wall, rows = fn()
+        queries[name] = round(wall, 3)
+        rows_out[name] = rows
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline pipelines wall time (corpus as-of+window "
+                  "flagship, window, as-of join, dedup, ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "rows": rows_out,
+        "sequences_per_sec": round(rows_out["corpus_flagship"]
+                                   / queries["corpus_flagship"], 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": BENCH_DOCS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    import subprocess
+    env_common = dict(os.environ, GRAFT_BENCH_DOCS=str(BENCH_DOCS))
+
+    def one(ncpu: int) -> dict:
+        env = dict(env_common, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the page cache + corpus cache untimed
+    one(NUM_CPUS)
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo = r_lo["queries"]["corpus_flagship"]
+    t_hi = r_hi["queries"]["corpus_flagship"]
+    thr_lo = r_lo["rows"]["corpus_flagship"] / t_lo
+    thr_hi = r_hi["rows"]["corpus_flagship"] / t_hi
+    eff = thr_hi / (thr_lo * (hi / lo))
+    return {
+        "metric": "corpus_flagship scaling (sequences/sec at two "
+                  "parallelism levels, same input)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "throughput_lo": round(thr_lo, 1),
+        "throughput_hi": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": BENCH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_all()))

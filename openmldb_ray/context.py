@@ -19,12 +19,19 @@ def cluster_cpus() -> int:
         return 4
 
 
-def pool_concurrency(frac: float = 0.5, cap: int | None = None) -> int:
-    """Actor-pool size: a fraction of the cluster CPUs, always leaving
-    at least one CPU free for the producer/consumer stages."""
+def pool_concurrency(frac: float = 0.5, cap: int | None = None
+                     ) -> tuple[int, int]:
+    """Actor-pool sizing as an AUTOSCALING (min=1, max) tuple.
+
+    A fixed pool reserves max CPUs up-front; with several pools in one
+    plan (tokenize + join + ...) that deadlocks a small node — the
+    pools hold every CPU and the read stage never runs. min=1 lets the
+    streaming executor grow pools only when CPUs are actually free."""
     cpus = cluster_cpus()
     c = max(1, min(int(cpus * frac), cpus - 1))
-    return min(c, cap) if cap else c
+    if cap:
+        c = min(c, cap)
+    return (1, c)
 
 
 def default_num_buckets(multiplier: int = 4, floor: int = 16) -> int:

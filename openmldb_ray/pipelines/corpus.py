@@ -1,0 +1,194 @@
+"""The flagship pipeline over the mandated corpus shape
+``(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)``.
+
+The corpus is derived DETERMINISTICALLY from the driver-generated
+``documents`` table (seed fixed by the generator): whitespace
+tokenization + FNV-1a token ids. No external data; the same derivation
+is expressible in the DuckDB oracle (token ids aside, which are
+checked by the pytest token-equality invariant instead).
+
+Pipeline (BASELINE.md workload):
+  position-axis derivation (exclusive prefix sum of n_tok per source,
+  docs ordered by doc_id — the entity time axis)
+  -> hash shuffle by source + per-partition sort
+  -> windowed features (ROWS + ROWS_RANGE frames over n_tok)
+  -> LAST JOIN (as-of) against a checkpoint dim table
+  -> parquet sink with per-partition lineage manifests.
+
+Scale note: window features never touch the ``tokens`` arrays, so the
+shuffle moves only (doc_id, source, ts, n_tok) — the token payload is
+re-joined by doc_id afterwards (ConcatJoin analog, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from openmldb_ray.joins import last_join
+from openmldb_ray.window import Agg, WindowSpec, window_agg
+
+VOCAB = 50257
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a(word: str) -> int:
+    h = _FNV_OFF
+    for b in word.encode("utf-8"):
+        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+class Tokenize:
+    """Actor-pool stage: deterministic whitespace tokenization.
+
+    Stateful so the (tiny) token-id memo cache amortizes across
+    batches; at real scale this is where a BPE model would be loaded
+    once per actor.
+    """
+
+    def __init__(self):
+        self.memo: dict[str, int] = {}
+
+    def _tok(self, w: str) -> int:
+        t = self.memo.get(w)
+        if t is None:
+            t = _fnv1a(w) % VOCAB
+            if len(self.memo) < 1_000_000:
+                self.memo[w] = t
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        toks, ntoks, doc_ids = [], [], []
+        for t, s, i in zip(texts, srcs, ids):
+            words = (t or "").split()
+            toks.append([self._tok(w) for w in words])
+            ntoks.append(len(words))
+            doc_ids.append(f"{s}-{int(i):08d}")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "n_tok": pa.array(ntoks, type=pa.int32()),
+            "source": pa.array(srcs, type=pa.string()),
+        })
+
+
+def build_corpus(sf_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
+    """documents.parquet -> the mandated corpus shape."""
+    from openmldb_ray.context import pool_concurrency
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    return docs.map_batches(Tokenize, batch_format="pyarrow",
+                            batch_size=2048,
+                            concurrency=concurrency or pool_concurrency())
+
+
+class AddPositionAxis:
+    """Per-source exclusive prefix sum of n_tok in doc_id order — the
+    int64 entity time axis (SURVEY.md §7.2). Runs inside a per-source
+    group (map_groups) so the cumsum sees the whole entity."""
+
+    __name__ = "add_position_axis"
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(order)
+        n = g["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return g.append_column("ts", pa.array(ts, type=pa.int64()))
+
+
+def add_position_axis(corpus: ray.data.Dataset,
+                      num_buckets: int | None = None) -> ray.data.Dataset:
+    """Attach ts. Groups by source (one shuffle); sorting by doc_id
+    within the entity gives the deterministic total order."""
+    slim = corpus.select_columns(["doc_id", "n_tok", "source"])
+    return slim.groupby("source").map_groups(AddPositionAxis(),
+                                             batch_format="pyarrow")
+
+
+FEATURES = [
+    Agg("sum", "n_tok", "sum_tok_100r"),
+    Agg("avg", "n_tok", "avg_tok_100r"),
+    Agg("max", "n_tok", "max_tok_100r"),
+    Agg("count", None, "cnt_100r"),
+]
+RANGE_FEATURES = [
+    Agg("sum", "n_tok", "sum_tok_50k"),
+    Agg("min", "n_tok", "min_tok_50k"),
+    Agg("count", None, "cnt_50k"),
+]
+
+
+def corpus_features(with_ts: ray.data.Dataset,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """ROWS-100 and ROWS_RANGE-50k-token windows per source."""
+    rows_spec = WindowSpec("source", "ts", preceding_rows=100)
+    f1 = window_agg(with_ts, rows_spec, FEATURES,
+                    passthrough=["doc_id", "source", "ts", "n_tok"],
+                    num_buckets=num_buckets)
+    range_spec = WindowSpec("source", "ts", preceding_range=50_000)
+    f2 = window_agg(f1, range_spec, RANGE_FEATURES,
+                    passthrough=[c for c in
+                                 ["doc_id", "source", "ts", "n_tok"]
+                                 + [a.name for a in FEATURES]],
+                    num_buckets=num_buckets)
+    return f2
+
+
+def build_dim(with_ts: ray.data.Dataset) -> ray.data.Dataset:
+    """Checkpoint dim table: every 7th doc per source becomes a
+    (source, ts, payload) row — the LAST JOIN right side (FIXTURES F3)."""
+    def pick(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_pylist()
+        keep = np.array([int(d.rsplit("-", 1)[1]) % 7 == 0 for d in did])
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "source": t["source"],
+            "dim_ts": t["ts"],
+            "payload": pa.compute.cast(t["n_tok"], pa.int64()),
+        })
+    return with_ts.map_batches(pick, batch_format="pyarrow")
+
+
+def run_flagship(corpus: ray.data.Dataset, num_buckets: int = 64,
+                 include_tokens: bool = False,
+                 materialize_axis: bool = True) -> ray.data.Dataset:
+    """The full BASELINE.md workload over an in-shape corpus Dataset:
+    one output row per corpus doc with window features and the as-of
+    dim payload.
+
+    ``with_ts`` (slim: 4 narrow columns, no tokens) is materialized by
+    default because two branches (features, dim) consume it — otherwise
+    each branch re-executes the corpus lineage. At 100 TB the analog is
+    a parquet checkpoint (state.checkpoint.checkpoint), not an
+    object-store pin; callers choose via ``materialize_axis``.
+    """
+    with_ts = add_position_axis(corpus, num_buckets)
+    if materialize_axis:
+        with_ts = with_ts.materialize()
+    feats = corpus_features(with_ts, num_buckets)
+    dim = build_dim(with_ts)
+    joined = last_join(feats, dim, on="source", order_by="dim_ts",
+                       left_ts="ts", payload=["payload"], broadcast=True)
+    if include_tokens:
+        # tokens were projected out before every shuffle; re-attach by
+        # doc_id (list payloads need the explicit bucketed join)
+        from openmldb_ray.joins.hash_join import hash_join
+        tok = corpus.select_columns(["doc_id", "tokens"])
+        joined = hash_join(joined, tok, on="doc_id", how="inner",
+                           num_buckets=num_buckets)
+    return joined
+
+
+def flagship(sf_dir: str, num_buckets: int = 64,
+             include_tokens: bool = False) -> ray.data.Dataset:
+    """Flagship over the documents-derived corpus (test scale)."""
+    corpus = build_corpus(sf_dir)
+    return run_flagship(corpus, num_buckets, include_tokens)

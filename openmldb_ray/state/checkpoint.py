@@ -1,0 +1,76 @@
+"""Checkpoint-resumable stages with per-partition lineage manifests.
+
+Reference analog: ``openmldb.slowRunCacheDir`` persists each physical
+node's output to HDFS parquet + ``_SUCCESS`` and reloads it on rerun
+(java/openmldb-batch SparkPlanner.scala:289-325). Here:
+
+- ``checkpoint(ds, stage_dir)``: write the dataset as partitioned
+  parquet under ``stage_dir`` plus ``manifest.jsonl`` (one row per
+  output file: rows, bytes, wall_s) and ``_SUCCESS``; returns a fresh
+  Dataset reading the checkpoint (cuts lineage — downstream stages and
+  reruns never recompute upstream).
+- on rerun, a stage whose ``_SUCCESS`` exists is loaded, not rerun.
+
+Output layout is one file per block, so a 100 TB run resumes at file
+granularity and the manifest doubles as the lineage/metrics artifact
+(BASELINE.md / north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import ray.data
+
+
+def is_complete(stage_dir: str) -> bool:
+    return os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
+
+
+def checkpoint(ds: ray.data.Dataset, stage_dir: str,
+               force: bool = False) -> ray.data.Dataset:
+    """Write-through checkpoint; skipped (read-only) when already
+    complete. Writes go to a temp dir first, renamed on success, so a
+    killed run never leaves a half-checkpoint that looks complete."""
+    if is_complete(stage_dir) and not force:
+        return ray.data.read_parquet(stage_dir,
+                                     file_extensions=["parquet"])
+    tmp = stage_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    t0 = time.time()
+    ds.write_parquet(tmp)
+    files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    manifest = []
+    import pyarrow.parquet as pq
+    for f in files:
+        p = os.path.join(tmp, f)
+        md = pq.read_metadata(p)
+        manifest.append({"file": f, "rows": md.num_rows,
+                         "bytes": os.path.getsize(p),
+                         "row_groups": md.num_row_groups})
+    wall = time.time() - t0
+    with open(os.path.join(tmp, "manifest.jsonl"), "w") as fh:
+        for m in manifest:
+            m["stage_wall_s"] = round(wall, 3)
+            fh.write(json.dumps(m) + "\n")
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write(json.dumps({"rows": sum(m["rows"] for m in manifest),
+                             "files": len(files),
+                             "wall_s": round(wall, 3)}))
+    if os.path.exists(stage_dir):
+        import shutil
+        shutil.rmtree(stage_dir)
+    os.rename(tmp, stage_dir)
+    return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
+
+
+def read_manifest(stage_dir: str) -> list[dict]:
+    out = []
+    with open(os.path.join(stage_dir, "manifest.jsonl")) as fh:
+        for line in fh:
+            out.append(json.loads(line))
+    return out

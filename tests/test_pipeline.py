@@ -1,0 +1,74 @@
+"""Flagship pipeline invariants (north rule): per-row token-array
+equality through the pipeline, row preservation, checkpoint resume."""
+
+import numpy as np
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_token_equality(ray_session, tmp_path):
+    from openmldb_ray.pipelines.corpus import build_corpus, flagship
+    out = flagship(SF, num_buckets=8, include_tokens=True).to_pandas()
+    src = build_corpus(SF).to_pandas()
+    assert len(out) == len(src)
+    src_map = dict(zip(src["doc_id"], src["tokens"]))
+    for did, toks in zip(out["doc_id"], out["tokens"]):
+        np.testing.assert_array_equal(np.asarray(toks),
+                                      np.asarray(src_map[did]),
+                                      err_msg=did)
+
+
+def test_position_axis_monotonic(ray_session):
+    from openmldb_ray.pipelines.corpus import add_position_axis, build_corpus
+    wts = add_position_axis(build_corpus(SF)).to_pandas()
+    for _, g in wts.groupby("source"):
+        g = g.sort_values("doc_id")
+        ts = g["ts"].to_numpy()
+        n = g["n_tok"].to_numpy()
+        assert ts[0] == 0
+        np.testing.assert_array_equal(np.diff(ts), n[:-1])
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from openmldb_ray.state.checkpoint import (checkpoint, is_complete,
+                                               read_manifest)
+    d = str(tmp_path / "stage")
+    ds = ray.data.range(1000)
+    out = checkpoint(ds, d)
+    assert out.count() == 1000
+    assert is_complete(d)
+    man = read_manifest(d)
+    assert sum(m["rows"] for m in man) == 1000
+    # resume: a different (would-be wrong) dataset must NOT overwrite
+    out2 = checkpoint(ray.data.range(5), d)
+    assert out2.count() == 1000
+
+
+def test_synth_corpus_deterministic(ray_session):
+    from openmldb_ray.pipelines.synth import synth_corpus
+    a = synth_corpus(2000, override_num_blocks=2).to_pandas()
+    b = synth_corpus(2000, override_num_blocks=7).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["n_tok"] == b["n_tok"]).all()
+    # skew: hot key ~30%
+    frac = (a["source"] == "src-0000").mean()
+    assert 0.25 < frac < 0.35
+    for x, y in zip(a["tokens"].head(50), b["tokens"].head(50)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_entry_contract(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+    res = e.entry()
+    df = res.to_pandas() if isinstance(res, ray.data.Dataset) else res
+    assert len(df) >= 0
+    assert "doc_id" in df.columns and "tokens" in df.columns
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)

@@ -24,6 +24,8 @@ MIN_US = 60_000_000
 
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data
+    from openmldb_ray.context import tune_data_context
+    tune_data_context()
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
@@ -33,7 +35,9 @@ def _read(sf_dir: str, name: str, columns=None):
 def entry() -> Any:
     """Flagship: corpus derivation -> position axis -> ROWS + ROWS_RANGE
     window features -> as-of LAST JOIN -> token arrays re-joined."""
+    from openmldb_ray.context import tune_data_context
     from openmldb_ray.pipelines.corpus import flagship
+    tune_data_context()
     return flagship("/root/testdata/sf0.001", num_buckets=16,
                     include_tokens=True)
 
@@ -291,11 +295,12 @@ def _q_scalar_datetime(sf_dir):
 
 
 def _corpus_feats(sf_dir):
-    from openmldb_ray.pipelines.corpus import (add_position_axis,
-                                               build_corpus, corpus_features)
+    from openmldb_ray.context import tune_data_context
+    from openmldb_ray.pipelines.corpus import (build_corpus,
+                                               corpus_features_fused)
+    tune_data_context()
     corpus = build_corpus(sf_dir)
-    with_ts = add_position_axis(corpus)
-    return corpus_features(with_ts, num_buckets=16)
+    return corpus_features_fused(corpus, num_buckets=16)
 
 
 def _cast_ntok(ds):

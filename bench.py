@@ -48,7 +48,8 @@ def bench_corpus_flagship() -> tuple[float, int]:
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     corpus = ray.data.read_parquet(path, file_extensions=["parquet"],
-                                   columns=["doc_id", "n_tok", "source"])
+                                   columns=["doc_id", "n_tok", "source"],
+                                   override_num_blocks=max(16, NUM_CPUS * 2))
     res = run_flagship(corpus, num_buckets=max(64, NUM_CPUS * 4))
     checkpoint(res, out, force=True)
     wall = time.time() - t0
@@ -122,9 +123,8 @@ def run_all() -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    from openmldb_ray.context import tune_data_context
+    tune_data_context()
 
     benches = {
         "corpus_flagship": bench_corpus_flagship,

@@ -12,6 +12,28 @@ from __future__ import annotations
 import ray
 
 
+def tune_data_context() -> None:
+    """Engine-wide Ray Data tuning, idempotent.
+
+    HASH_SHUFFLE for groupby/shuffle stages: measured ~19x faster than
+    the default sort-based shuffle for our many-small-groups workloads
+    (0.35s vs 6.5s for the 200k-row axis stage at 8 CPUs), and it is
+    the strategy that matches our explicit hash-bucket design."""
+    from ray.data.context import DataContext, ShuffleStrategy
+    ctx = DataContext.get_current()
+    cpus = cluster_cpus()
+    if cpus >= 8:
+        # Hash shuffle reserves 0.25 CPU x num_partitions by default
+        # (200 partitions -> 50 CPUs!), which starves/deadlocks small
+        # nodes. Cap partitions to 2x CPUs and shrink the per-partition
+        # reservation so aggregators never crowd out producer stages.
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.max_hash_shuffle_aggregators = max(4, cpus // 2)
+        ctx.default_hash_shuffle_parallelism = min(200, 2 * cpus)
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.enable_progress_bars = False
+
+
 def cluster_cpus() -> int:
     try:
         return int(ray.cluster_resources().get("CPU", 4))

@@ -126,20 +126,43 @@ RANGE_FEATURES = [
 ]
 
 
+ROWS_SPEC = WindowSpec("source", "ts", preceding_rows=100)
+RANGE_SPEC = WindowSpec("source", "ts", preceding_range=50_000)
+
+
 def corpus_features(with_ts: ray.data.Dataset,
                     num_buckets: int = 64) -> ray.data.Dataset:
-    """ROWS-100 and ROWS_RANGE-50k-token windows per source."""
-    rows_spec = WindowSpec("source", "ts", preceding_rows=100)
-    f1 = window_agg(with_ts, rows_spec, FEATURES,
-                    passthrough=["doc_id", "source", "ts", "n_tok"],
-                    num_buckets=num_buckets)
-    range_spec = WindowSpec("source", "ts", preceding_range=50_000)
-    f2 = window_agg(f1, range_spec, RANGE_FEATURES,
-                    passthrough=[c for c in
-                                 ["doc_id", "source", "ts", "n_tok"]
-                                 + [a.name for a in FEATURES]],
-                    num_buckets=num_buckets)
-    return f2
+    """ROWS-100 and ROWS_RANGE-50k-token windows per source — both
+    specs in ONE shuffle (window_agg_multi)."""
+    from openmldb_ray.window.runner import window_agg_multi
+    return window_agg_multi(
+        with_ts, [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)],
+        passthrough=["doc_id", "source", "ts", "n_tok"],
+        num_buckets=num_buckets)
+
+
+def _derive_ts(run: pa.Table) -> pa.Table:
+    """Per-run position axis: exclusive prefix sum of n_tok in doc_id
+    order (the run arrives sorted by doc_id)."""
+    n = run["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = np.concatenate(([0], np.cumsum(n)[:-1]))
+    return run.append_column("ts", pa.array(ts, type=pa.int64()))
+
+
+def corpus_features_fused(corpus: ray.data.Dataset,
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """Position-axis derivation + BOTH window frames in a single
+    shuffle: bucket by source, sort runs by doc_id, compute ts inside
+    the run, evaluate both specs on the derived axis. This replaces
+    three shuffles (axis groupby + two window stages) with one — the
+    bytes-moved win that matters at 100 TB."""
+    from openmldb_ray.window.runner import window_agg_multi
+    return window_agg_multi(
+        corpus, [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)],
+        passthrough=["doc_id", "source", "ts", "n_tok"],
+        sort_cols=["doc_id"], run_transform=_derive_ts,
+        input_cols=["doc_id", "n_tok", "source"],
+        num_buckets=num_buckets)
 
 
 def build_dim(with_ts: ray.data.Dataset) -> ray.data.Dataset:
@@ -170,11 +193,10 @@ def run_flagship(corpus: ray.data.Dataset, num_buckets: int = 64,
     a parquet checkpoint (state.checkpoint.checkpoint), not an
     object-store pin; callers choose via ``materialize_axis``.
     """
-    with_ts = add_position_axis(corpus, num_buckets)
+    feats = corpus_features_fused(corpus, num_buckets)
     if materialize_axis:
-        with_ts = with_ts.materialize()
-    feats = corpus_features(with_ts, num_buckets)
-    dim = build_dim(with_ts)
+        feats = feats.materialize()
+    dim = build_dim(feats)
     joined = last_join(feats, dim, on="source", order_by="dim_ts",
                        left_ts="ts", payload=["payload"], broadcast=True)
     if include_tokens:

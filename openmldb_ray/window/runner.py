@@ -9,24 +9,32 @@ nodes/WindowAggPlan.scala:53-191):
 2. tag WINDOW UNION secondaries (``__tag__=0``) and union them in
    (WindowAggPlanUtil.scala:41-92 requires schema equality);
 3. add a deterministic hash-bucket column over the partition keys —
-   ONE all-to-all shuffle (``groupby(bucket)``), bucket count chosen so
-   a bucket fits in a worker's heap at the target scale;
-4. per bucket: stable sort by (keys, ts, tag) — union rows sort before
-   primary rows at equal ts because the reference buffers union rows
-   before projecting the instance row (runner.cc:1521-1541) — then run
-   the vectorized kernel over each contiguous entity run;
+   ONE all-to-all shuffle (``groupby(bucket)`` under the HASH_SHUFFLE
+   strategy), bucket count chosen so a bucket fits a worker's heap at
+   the target scale;
+4. per bucket: stable sort by (keys, sort_cols, tag) — union rows sort
+   before primary rows at equal ts because the reference buffers union
+   rows before projecting the instance row (runner.cc:1521-1541) —
+   then run the vectorized kernel over each contiguous entity run;
 5. emit one output row per primary input row (rows with NULL/negative
    order keys dropped, WindowAggPlan.scala:783-791).
 
+``window_agg_multi`` evaluates SEVERAL window specs sharing the same
+partition keys in the single shuffle (the reference needs ConcatJoin
+window-parallelization for this; columnar batches make it free), and
+accepts a per-run ``run_transform`` so derived order axes (e.g. the
+corpus position axis = running token offset) are computed inside the
+same pass instead of a separate shuffle.
+
 Skew note (designed for 100 TB): the bucket column is a pure hash of
-the entity key, so a hot key lands in one bucket. ``skew.salted_window_agg``
-layers the reference's quantile-salting + history-replication scheme
-(WindowAggPlan.scala:194-314) on top of this runner for hot keys.
+the entity key, so a hot key lands in one bucket.
+``skew.salted_window_agg`` layers the reference's salting + history-
+replication scheme (WindowAggPlan.scala:194-314) on top for hot keys.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -43,80 +51,79 @@ _BUCKET = "__bucket__"
 _INT_FUNCS = {"count", "count_where", "distinct_count", "row_number"}
 
 
-def _needed_columns(spec: WindowSpec, aggs: Sequence[Agg],
-                    passthrough: Sequence[str]) -> list[str]:
-    cols = list(dict.fromkeys(
-        list(spec.keys) + [spec.order_by]
-        + [a.col for a in aggs if a.col]
-        + [a.where for a in aggs if a.where]
-        + list(passthrough)
-    ))
-    return cols
+def _agg_type(a: Agg) -> pa.DataType:
+    return pa.int64() if a.func in _INT_FUNCS else pa.float64()
 
 
 class _BucketWindow:
-    """Per-bucket window computation (stateless; used via map_groups)."""
+    """Per-bucket window computation (used via groupby().map_groups)."""
 
-    def __init__(self, spec: WindowSpec, aggs: list[Agg],
-                 passthrough: list[str], has_union: bool):
-        self.spec = spec
-        self.aggs = aggs
+    def __init__(self, specs_aggs, passthrough, has_union, sort_cols,
+                 run_transform, drop_invalid_order):
+        self.specs_aggs: list[tuple[WindowSpec, list[Agg]]] = specs_aggs
         self.passthrough = passthrough
         self.has_union = has_union
-        self.__name__ = "bucket_window_agg"  # Ray's map_groups wrapper wants one
+        self.sort_cols = sort_cols
+        self.run_transform = run_transform
+        self.drop_invalid_order = drop_invalid_order
+        self.keys = specs_aggs[0][0].keys
+        self.__name__ = "bucket_window_agg"  # Ray's map_groups wants one
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        spec, aggs = self.spec, self.aggs
         if _BUCKET in group.column_names:
             group = group.drop_columns([_BUCKET])
-        ts_raw = order_to_int64(group[spec.order_by])
-        # reference drops NULL / negative order keys
-        keep = ts_raw >= 0
-        if not keep.all():
-            group = group.filter(pa.array(keep))
-            ts_raw = ts_raw[keep]
+        if self.drop_invalid_order:
+            ts_raw = order_to_int64(group[self.sort_cols[0]])
+            keep = ts_raw >= 0
+            if not keep.all():
+                group = group.filter(pa.array(keep))
         n = group.num_rows
         if n == 0:
             return self._empty_table(group)
 
-        sort_keys = [(k, "ascending") for k in spec.keys]
-        sort_keys.append((spec.order_by, "ascending"))
+        sort_keys = [(k, "ascending") for k in self.keys]
+        sort_keys += [(c, "ascending") for c in self.sort_cols]
         if self.has_union:
             sort_keys.append((_TAG, "ascending"))
-        order = pc.sort_indices(group, sort_keys=sort_keys)
-        group = group.take(order)
-        ts = order_to_int64(group[spec.order_by])
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
 
         if self.has_union:
             is_primary = group[_TAG].to_numpy(zero_copy_only=False).astype(bool)
         else:
             is_primary = np.ones(n, dtype=bool)
 
-        # contiguous entity runs within the sorted bucket
-        run_id = _run_ids(group, spec.keys)
+        run_id = _run_ids(group, self.keys)
         boundaries = np.flatnonzero(np.diff(run_id)) + 1
-        starts = np.concatenate(([0], boundaries, [n]))
+        starts = np.concatenate(([0], boundaries, [n])).astype(np.int64)
 
-        value_cols = sorted({a.col for a in aggs if a.col}
-                            | {a.where for a in aggs if a.where})
-        full_vals = {c: column_to_float(group[c]) for c in value_cols}
-
-        outs = {a.name: np.full(n, np.nan) for a in aggs}
+        all_aggs = [a for _, aggs in self.specs_aggs for a in aggs]
+        outs = {a.name: np.full(n, np.nan) for a in all_aggs}
+        out_tables = []
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
-            vals = {c: v[lo:hi] for c, v in full_vals.items()}
-            res = eval_aggs(ts[lo:hi], vals, aggs, spec,
-                            is_primary=is_primary[lo:hi])
-            for name, arr in res.items():
-                outs[name][lo:hi] = arr
+            run = group.slice(lo, hi - lo)
+            if self.run_transform is not None:
+                run = self.run_transform(run)
+            value_cols = sorted({a.col for a in all_aggs if a.col}
+                                | {a.where for a in all_aggs if a.where})
+            vals = {c: column_to_float(run[c]) for c in value_cols}
+            for spec, aggs in self.specs_aggs:
+                ts = order_to_int64(run[spec.order_by])
+                res = eval_aggs(ts, vals, aggs, spec,
+                                is_primary=is_primary[lo:hi])
+                for name, arr in res.items():
+                    outs[name][lo:hi] = arr
+            if self.run_transform is not None:
+                out_tables.append(run)
+        table = (pa.concat_tables(out_tables) if out_tables else group)
 
         mask = pa.array(is_primary)
+        all_prim = bool(is_primary.all())
         cols, names = [], []
         for c in self.passthrough:
             names.append(c)
-            cols.append(group[c].filter(mask) if not is_primary.all()
-                        else group[c])
-        for a in aggs:
+            cols.append(table[c] if all_prim else table[c].filter(mask))
+        for a in all_aggs:
             names.append(a.name)
             arr = outs[a.name][is_primary]
             if a.func in _INT_FUNCS:
@@ -130,11 +137,12 @@ class _BucketWindow:
         cols, names = [], []
         for c in self.passthrough:
             names.append(c)
-            cols.append(group[c])
-        for a in self.aggs:
-            names.append(a.name)
-            t = pa.int64() if a.func in _INT_FUNCS else pa.float64()
-            cols.append(pa.array([], type=t))
+            cols.append(group[c] if c in group.column_names
+                        else pa.array([], type=pa.int64()))
+        for _, aggs in self.specs_aggs:
+            for a in aggs:
+                names.append(a.name)
+                cols.append(pa.array([], type=_agg_type(a)))
         return pa.table(cols, names=names)
 
 
@@ -151,6 +159,72 @@ def _run_ids(group: pa.Table, keys: Sequence[str]) -> np.ndarray:
         neq = neq | nulls_flip.to_numpy(zero_copy_only=False)
         change[1:] |= neq
     return np.cumsum(change)
+
+
+def window_agg_multi(
+    ds: ray.data.Dataset,
+    specs_aggs: Sequence[tuple[WindowSpec, Sequence[Agg]]],
+    *,
+    union_ds: Sequence[ray.data.Dataset] = (),
+    passthrough: Sequence[str] | None = None,
+    num_buckets: int = 64,
+    sort_cols: Sequence[str] | None = None,
+    run_transform: Callable[[pa.Table], pa.Table] | None = None,
+    input_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Evaluate several window specs (same partition keys) in ONE
+    shuffle. See ``window_agg`` for the single-spec sugar.
+
+    ``sort_cols``: per-run sort order (default: first spec's order_by).
+    ``run_transform``: applied to each sorted entity run BEFORE
+    aggregation — may append derived columns (e.g. a cumulative
+    position axis later used as an order_by). When set, NULL/negative
+    order-key dropping is skipped (the transform owns axis validity)
+    and ``input_cols`` must list the physical columns to shuffle.
+    """
+    specs_aggs = [(s, list(a)) for s, a in specs_aggs]
+    keys = specs_aggs[0][0].keys
+    for s, _ in specs_aggs:
+        if s.keys != keys:
+            raise ValueError("all specs must share partition_by")
+    sort_cols = list(sort_cols or [specs_aggs[0][0].order_by])
+    if passthrough is None:
+        passthrough = list(keys) + sort_cols
+    passthrough = list(passthrough)
+
+    if input_cols is None:
+        input_cols = list(dict.fromkeys(
+            list(keys) + sort_cols
+            + [s.order_by for s, _ in specs_aggs]
+            + [a.col for _, aggs in specs_aggs for a in aggs if a.col]
+            + [a.where for _, aggs in specs_aggs for a in aggs if a.where]
+            + passthrough))
+    input_cols = list(input_cols)
+    has_union = len(union_ds) > 0
+
+    def prep(tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(input_cols)
+            if has_union:
+                batch = batch.append_column(
+                    _TAG, pa.array(np.full(batch.num_rows, tag,
+                                           dtype=np.int8)))
+            b = hash_columns(batch, list(keys), num_buckets)
+            return batch.append_column(_BUCKET, pa.array(b))
+        return fn
+
+    main = ds.map_batches(prep(1), batch_format="pyarrow")
+    for u in union_ds:
+        main = main.union(u.map_batches(prep(0), batch_format="pyarrow"))
+
+    fn = _BucketWindow(specs_aggs, passthrough, has_union, sort_cols,
+                       run_transform,
+                       drop_invalid_order=run_transform is None)
+    try:
+        grouped = main.groupby(_BUCKET, num_partitions=num_buckets)
+    except TypeError:  # older Ray without num_partitions
+        grouped = main.groupby(_BUCKET)
+    return grouped.map_groups(fn, batch_format="pyarrow")
 
 
 def window_agg(
@@ -170,26 +244,6 @@ def window_agg(
     OUT of passthrough and re-join them on a row id afterwards — bytes
     shuffled here are bytes moved across the whole cluster.
     """
-    aggs = list(aggs)
-    if passthrough is None:
-        passthrough = list(spec.keys) + [spec.order_by]
-    passthrough = list(passthrough)
-    cols = _needed_columns(spec, aggs, passthrough)
-    has_union = len(union_ds) > 0
-
-    def prep(tag: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            batch = batch.select(cols)
-            if has_union:
-                batch = batch.append_column(
-                    _TAG, pa.array(np.full(batch.num_rows, tag, dtype=np.int8)))
-            b = hash_columns(batch, list(spec.keys), num_buckets)
-            return batch.append_column(_BUCKET, pa.array(b))
-        return fn
-
-    main = ds.map_batches(prep(1), batch_format="pyarrow")
-    for u in union_ds:
-        main = main.union(u.map_batches(prep(0), batch_format="pyarrow"))
-
-    fn = _BucketWindow(spec, aggs, passthrough, has_union)
-    return main.groupby(_BUCKET).map_groups(fn, batch_format="pyarrow")
+    return window_agg_multi(ds, [(spec, aggs)], union_ds=union_ds,
+                            passthrough=passthrough,
+                            num_buckets=num_buckets)

@@ -16,6 +16,8 @@ def ray_session():
                  ignore_reinit_error=True, logging_level="ERROR")
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from openmldb_ray.context import tune_data_context
+    tune_data_context()
     yield
     ray.shutdown()
 

@@ -76,8 +76,9 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    from openmldb_ray.context import tune_data_context
+    sys.path.insert(0, ".")
+    tune_data_context()
 
     sys.path.insert(0, ".")
     import __ray_entry__ as entry

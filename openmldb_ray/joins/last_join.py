@@ -43,92 +43,105 @@ def _normalize(on, right_on):
 
 
 class _RightIndex:
-    """Driver-built broadcast index: key -> (sorted ts array, payload rows)."""
+    """Driver-built broadcast index: contiguous per-key slices over
+    globally (key, ts)-sorted arrays — fully vectorized construction
+    (numpy lexsort; no Python row loops) so a multi-million-row right
+    side builds in well under a second."""
 
     def __init__(self, rt: pa.Table, right_on: list[str], order_by: str | None,
                  descending: bool, payload: list[str]):
         df = rt.to_pandas()
+        n = len(df)
         self.order_by = order_by
+        self.descending = descending
         self.payload = payload
+        if len(right_on) == 1:
+            keys = df[right_on[0]].to_numpy()
+        else:
+            # composite key -> single string key (rare path; all engine
+            # call sites use single-column joins)
+            keys = df[right_on].astype(str).agg("\x1f".join, axis=1) \
+                .to_numpy()
+        # stable sort by (key, ts ascending); ties keep right-table
+        # order; asof picks the LAST qualifying row -> max-ts
+        # (runner.cc:1957-1966)
         if order_by is not None:
-            # stable sort: ties keep right-table order; asof picks the
-            # LAST qualifying row -> max-ts (asc) per runner.cc:1957-1966
-            df = df.sort_values(order_by, kind="stable",
-                                ascending=not descending)
-            df = df.reset_index(drop=True)
-        key = np.empty(len(df), dtype=object)
-        key[:] = list(map(tuple, df[right_on].itertuples(index=False)))
-        self.groups: dict[tuple, dict] = {}
-        df_idx = np.arange(len(df))
-        gb = pd.Series(df_idx).groupby(pd.Series(key), sort=False)
-        ts_all = (df[order_by].to_numpy() if order_by is not None else None)
-        pay_all = {c: df[c].to_numpy() for c in payload}
-        for k, idxs in gb.groups.items():
-            idxs = np.asarray(idxs)
-            g = {"rows": {c: pay_all[c][idxs] for c in payload}}
-            if ts_all is not None:
-                g["ts"] = ts_all[idxs]
-            self.groups[k if isinstance(k, tuple) else (k,)] = g
+            ts = df[order_by].to_numpy()
+            order = np.lexsort((np.arange(n), ts, keys)) if n else \
+                np.empty(0, dtype=np.int64)
+        else:
+            ts = None
+            order = np.lexsort((np.arange(n), keys)) if n else \
+                np.empty(0, dtype=np.int64)
+        keys_s = keys[order]
+        self.ts = ts[order] if ts is not None else None
+        self.rows = {c: df[c].to_numpy()[order] for c in payload}
+        bounds = np.flatnonzero(keys_s[1:] != keys_s[:-1]) + 1 if n else \
+            np.empty(0, dtype=np.int64)
+        # array-form index (sorted uniq + slice bounds): ships through
+        # the object store as zero-copy numpy buffers (a dict of keys
+        # would re-pickle per task) and lookups are one searchsorted
+        self.starts = (np.concatenate(([0], bounds)) if n
+                       else bounds).astype(np.int64)
+        self.ends = (np.concatenate((bounds, [n])) if n
+                     else bounds).astype(np.int64)
+        self.uniq = keys_s[self.starts] if n else keys_s
+
+    def locate(self, keys: np.ndarray):
+        """Vectorized key -> (lo, hi, matched)."""
+        pos = np.searchsorted(self.uniq, keys)
+        pos_c = np.clip(pos, 0, max(len(self.uniq) - 1, 0))
+        matched = (np.asarray(self.uniq[pos_c] == keys)
+                   if len(self.uniq) else np.zeros(len(keys), bool))
+        return self.starts[pos_c], self.ends[pos_c], matched
 
 
-class _BroadcastLastJoin:
-    """Actor-pool batch fn: as-of lookup against the broadcast index."""
-
-    def __init__(self, index_ref, on: list[str], left_ts: str | None,
-                 suffix: str):
-        self.index: _RightIndex = ray.get(index_ref) if not isinstance(
-            index_ref, _RightIndex) else index_ref
-        self.on = on
-        self.left_ts = left_ts
-        self.suffix = suffix
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        idx = self.index
-        n = batch.num_rows
-        keydf = batch.select(self.on).to_pandas()
-        keys = list(map(tuple, keydf.itertuples(index=False)))
-        lts = (batch[self.left_ts].to_pandas().to_numpy()
-               if self.left_ts is not None else None)
-        # chosen right row index per left row, -1 = no match
-        out_cols = {}
-        pick: dict[tuple, np.ndarray] = {}
-        sel = np.full(n, -1, dtype=np.int64)
-        grp_of = np.full(n, -1, dtype=np.int64)
-        grp_list = []
-        for i, k in enumerate(keys):
-            g = idx.groups.get(k)
-            if g is None:
-                continue
-            gi = pick.get(k)
-            if gi is None:
-                pick[k] = np.int64(len(grp_list))
-                grp_list.append(g)
-            grp_of[i] = pick[k]
-        for gi, g in enumerate(grp_list):
-            rows_here = np.flatnonzero(grp_of == gi)
-            if "ts" in g and lts is not None:
-                # last right row with right.ts <= left.ts
-                pos = np.searchsorted(g["ts"], lts[rows_here], side="right") - 1
+def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
+                          on: list[str], left_ts: str | None,
+                          suffix: str) -> pa.Table:
+    """As-of lookup of one left batch against the broadcast index —
+    fully vectorized (searchsorted key lookup + per-unique-key
+    searchsorted as-of)."""
+    n = batch.num_rows
+    if len(on) == 1:
+        keys = batch[on[0]].to_numpy(zero_copy_only=False)
+    else:
+        keys = batch.select(on).to_pandas().astype(str) \
+            .agg("\x1f".join, axis=1).to_numpy()
+    lo, hi, matched = idx.locate(keys)
+    sel = np.full(n, -1, dtype=np.int64)
+    if idx.ts is not None and left_ts is not None:
+        lts = batch[left_ts].to_numpy(zero_copy_only=False)
+        m = np.flatnonzero(matched)
+        if len(m):
+            # last right row with ts <= left ts, within the key's slice
+            codes, uniques = pd.factorize(pd.Series(keys[m]), sort=False)
+            for gi in range(len(uniques)):
+                rows = m[codes == gi]
+                glo, ghi = int(lo[rows[0]]), int(hi[rows[0]])
+                pos = np.searchsorted(idx.ts[glo:ghi], lts[rows],
+                                      side="right") - 1
                 ok = pos >= 0
-                sel[rows_here[ok]] = pos[ok]
-            elif "ts" in g:
-                sel[rows_here] = len(g["ts"]) - 1  # max-ts row
-            else:
-                sel[rows_here] = 0  # first right row in storage order
-        matched = sel >= 0
-        names = list(batch.column_names)
-        cols = list(batch.columns)
-        for c in idx.payload:
-            vals = np.empty(n, dtype=object)
-            vals[:] = None
-            for gi, g in enumerate(grp_list):
-                rows_here = np.flatnonzero((grp_of == gi) & matched)
-                if len(rows_here):
-                    vals[rows_here] = g["rows"][c][sel[rows_here]]
-            out_name = c + self.suffix if c in batch.column_names else c
-            names.append(out_name)
-            cols.append(pa.array(vals.tolist()))
-        return pa.table(cols, names=names)
+                sel[rows[ok]] = glo + pos[ok]
+    elif idx.ts is not None:
+        pick = lo if idx.descending else hi - 1  # max-ts asc / min-ts desc
+        sel[matched] = pick[matched]
+    else:
+        sel[matched] = lo[matched]  # first right row in storage order
+    hit = sel >= 0
+    names = list(batch.column_names)
+    cols = list(batch.columns)
+    safe = np.where(hit, sel, 0)
+    for c in idx.payload:
+        vals = idx.rows[c][safe]
+        arr = pa.array(vals, from_pandas=True)
+        if not hit.all():
+            arr = pa.compute.if_else(pa.array(hit), arr,
+                                     pa.nulls(n, arr.type))
+        out_name = c + suffix if c in batch.column_names else c
+        names.append(out_name)
+        cols.append(arr)
+    return pa.table(cols, names=names)
 
 
 def last_join(
@@ -166,11 +179,15 @@ def last_join(
         rt = _collect(right, need)
         index = _RightIndex(rt, right_on, order_by, descending, payload)
         ref = ray.put(index)
-        from openmldb_ray.context import pool_concurrency
-        return left.map_batches(
-            _BroadcastLastJoin, batch_format="pyarrow",
-            fn_constructor_args=(ref, on, left_ts, suffix),
-            concurrency=concurrency or pool_concurrency())
+
+        # stateless tasks (elastic, no actor-pool ramp); ray.get of the
+        # array-form index is zero-copy from the local object store
+        def join_fn(batch: pa.Table) -> pa.Table:
+            return _broadcast_join_batch(batch, ray.get(ref), on, left_ts,
+                                         suffix)
+
+        return left.map_batches(join_fn, batch_format="pyarrow",
+                                batch_size=32768)
     return _shuffle_last_join(left, right, on, right_on, order_by, descending,
                               left_ts, payload, suffix, num_buckets)
 
@@ -229,8 +246,9 @@ def _shuffle_last_join(left, right, on, right_on, order_by, descending,
             if left_ts is not None and order_by is not None:
                 idx = _RightIndex(pa.Table.from_pandas(rg), right_on,
                                   order_by, descending, payload)
-                joiner = _BroadcastLastJoin(idx, on, left_ts, suffix)
-                return joiner(pa.Table.from_pandas(lg)).to_pandas()
+                return _broadcast_join_batch(
+                    pa.Table.from_pandas(lg), idx, on, left_ts,
+                    suffix).to_pandas()
             # keep the last (max-ts) or first (storage order) match per key
             keep = rg.groupby(right_on, sort=False).tail(1) if order_by \
                 else rg.groupby(right_on, sort=False).head(1)

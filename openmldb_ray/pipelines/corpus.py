@@ -131,7 +131,7 @@ RANGE_SPEC = WindowSpec("source", "ts", preceding_range=50_000)
 
 
 def corpus_features(with_ts: ray.data.Dataset,
-                    num_buckets: int = 64) -> ray.data.Dataset:
+                    num_buckets: int | None = None) -> ray.data.Dataset:
     """ROWS-100 and ROWS_RANGE-50k-token windows per source — both
     specs in ONE shuffle (window_agg_multi)."""
     from openmldb_ray.window.runner import window_agg_multi
@@ -150,7 +150,7 @@ def _derive_ts(run: pa.Table) -> pa.Table:
 
 
 def corpus_features_fused(corpus: ray.data.Dataset,
-                          num_buckets: int = 64) -> ray.data.Dataset:
+                          num_buckets: int | None = None) -> ray.data.Dataset:
     """Position-axis derivation + BOTH window frames in a single
     shuffle: bucket by source, sort runs by doc_id, compute ts inside
     the run, evaluate both specs on the derived axis. This replaces
@@ -180,7 +180,42 @@ def build_dim(with_ts: ray.data.Dataset) -> ray.data.Dataset:
     return with_ts.map_batches(pick, batch_format="pyarrow")
 
 
-def run_flagship(corpus: ray.data.Dataset, num_buckets: int = 64,
+def corpus_features_skewaware(corpus: ray.data.Dataset,
+                              num_buckets: int | None = None,
+                              hot_frac: float = 0.05,
+                              min_rows: int = 100_000) -> ray.data.Dataset:
+    """Fused corpus features with explicit hot-key handling: sources
+    holding > ``hot_frac`` of rows are split out and processed
+    block-parallel with replicated boundary history (skew.py); the
+    rest go through the single-shuffle fused path. Without this, one
+    hot source (FIXTURES F1: ~30% of rows) serializes into one shuffle
+    partition + one task and caps scaling."""
+    from openmldb_ray.skew import detect_hot_keys, hot_entity_corpus_features
+    # three consumers (hot detect, cold path, hot subsets): pin the slim
+    # corpus once instead of re-reading the source per branch. At 100 TB
+    # the analog is a parquet checkpoint of the slim projection.
+    slim = corpus.select_columns(["doc_id", "n_tok", "source"]).materialize()
+    hot = detect_hot_keys(slim, "source", hot_frac, min_rows)
+    if not hot:
+        return corpus_features_fused(slim, num_buckets)
+    hot_arr = np.array(sorted(hot))
+
+    def drop_hot(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(src, hot_arr)))
+
+    cold = slim.map_batches(drop_hot, batch_format="pyarrow")
+    out = corpus_features_fused(cold, num_buckets)
+    specs = [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)]
+    for k in hot:
+        sub = slim.map_batches(
+            lambda b, kk=k: b.filter(pa.compute.equal(b["source"], kk)),
+            batch_format="pyarrow")
+        out = out.union(hot_entity_corpus_features(sub, k, specs))
+    return out
+
+
+def run_flagship(corpus: ray.data.Dataset, num_buckets: int | None = None,
                  include_tokens: bool = False,
                  materialize_axis: bool = True) -> ray.data.Dataset:
     """The full BASELINE.md workload over an in-shape corpus Dataset:
@@ -193,7 +228,7 @@ def run_flagship(corpus: ray.data.Dataset, num_buckets: int = 64,
     a parquet checkpoint (state.checkpoint.checkpoint), not an
     object-store pin; callers choose via ``materialize_axis``.
     """
-    feats = corpus_features_fused(corpus, num_buckets)
+    feats = corpus_features_skewaware(corpus, num_buckets)
     if materialize_axis:
         feats = feats.materialize()
     dim = build_dim(feats)
@@ -205,11 +240,11 @@ def run_flagship(corpus: ray.data.Dataset, num_buckets: int = 64,
         from openmldb_ray.joins.hash_join import hash_join
         tok = corpus.select_columns(["doc_id", "tokens"])
         joined = hash_join(joined, tok, on="doc_id", how="inner",
-                           num_buckets=num_buckets)
+                           num_buckets=num_buckets or 64)
     return joined
 
 
-def flagship(sf_dir: str, num_buckets: int = 64,
+def flagship(sf_dir: str, num_buckets: int | None = None,
              include_tokens: bool = False) -> ray.data.Dataset:
     """Flagship over the documents-derived corpus (test scale)."""
     corpus = build_corpus(sf_dir)

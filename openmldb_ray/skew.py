@@ -1,0 +1,206 @@
+"""Skew handling: hot-key detection + parallel processing of hot
+entities with replicated history.
+
+The reference's skew optimizer (java/openmldb-batch
+WindowAggPlan.windowPartitionWithSkewOpt, WindowAggPlan.scala:194-314 +
+utils/SkewDataFrameUtils.scala:26-143) quantile-splits a hot key's
+timeline into parts and re-emits the history rows each part needs with
+an EXPANDED flag so they feed the buffer but never emit. This module
+re-expresses the same idea two ways:
+
+- ``detect_hot_keys``: tiny groupby-count pre-pass -> driver-side hot
+  set (the distribution-table analog).
+- ``hot_entity_window``: one hot entity, processed block-parallel:
+  range-partitioned sort by the order axis, then (pass 1) per-block
+  light summaries (row counts, axis totals, boundary tails) -> driver
+  prefix scan -> (pass 2) per-block window evaluation with the
+  previous blocks' tail rows prepended as buffer-only history
+  (is_primary=False — exactly the reference's EXPANDED_ROW).
+  Parts = sorted blocks; replication = the boundary tails; the
+  monotone watermark is the block's axis offset.
+
+Exactness: a block's frame never reaches further back than
+max(preceding_rows, rows covering preceding_range), and the driver
+assembles tails across as many predecessor blocks as that depth needs,
+so results are bit-identical to the single-task path (asserted in
+tests against the unsalted runner).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from openmldb_ray.window.kernel import eval_aggs
+from openmldb_ray.window.spec import Agg, WindowSpec
+
+
+def detect_hot_keys(ds: ray.data.Dataset, key: str,
+                    hot_frac: float = 0.05,
+                    min_rows: int = 100_000) -> list:
+    """Keys holding more than ``hot_frac`` of all rows (and at least
+    ``min_rows``).
+
+    Pre-aggregated: each batch emits (key, partial_count) — one row per
+    key per batch — and only those partials are reduced on the driver.
+    No shuffle of the raw rows (a bare groupby().count() would move
+    every row)."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b[key].value_counts()
+        return pa.table({key: vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(key, sort=False)["n"].sum()
+    total = counts.sum()
+    hot = counts[(counts > total * hot_frac) & (counts >= min_rows)]
+    return hot.index.tolist()
+
+
+class _BlockSummary:
+    """Pass 1: per sorted block, emit (first_key, rows, ntok_total,
+    tail arrays) — a few KB per block."""
+
+    def __init__(self, value_col: str, order_col: str, tail_rows: int,
+                 tail_range: int):
+        self.value_col = value_col
+        self.order_col = order_col
+        self.tail_rows = tail_rows
+        self.tail_range = tail_range
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        v = b[self.value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        local_ts = np.concatenate(([0], np.cumsum(v)[:-1]))
+        end_ts = local_ts[-1] + v[-1] if len(v) else 0
+        # tail = rows that any later row's frame could reach:
+        # last `tail_rows` rows OR rows with ts >= end_ts - tail_range
+        k = len(v)
+        cut = min(k, self.tail_rows)
+        if self.tail_range > 0:
+            cut = max(cut, k - int(np.searchsorted(
+                local_ts, end_ts - self.tail_range, side="left")))
+        cut = min(cut, k)
+        return pa.table({
+            "first_doc": [b[self.order_col][0].as_py()],
+            "n_rows": pa.array([k], type=pa.int64()),
+            "ntok_total": pa.array([int(end_ts)], type=pa.int64()),
+            "tail_vals": pa.array([v[k - cut:].tolist()],
+                                  type=pa.list_(pa.int64())),
+            "tail_ts": pa.array([local_ts[k - cut:].tolist()],
+                                type=pa.list_(pa.int64())),
+        })
+
+
+def _assemble_offsets(summary_rows: list[dict], tail_rows: int,
+                      tail_range: int) -> dict:
+    """Driver prefix scan: per block (keyed by first order value) ->
+    (ts_offset, history ts array, history value array)."""
+    rows = sorted(summary_rows, key=lambda r: r["first_doc"])
+    out: dict = {}
+    offset = 0
+    # rolling global-ts history (tail of everything before this block)
+    hist_ts = np.empty(0, dtype=np.int64)
+    hist_vals = np.empty(0, dtype=np.int64)
+    for r in rows:
+        out[r["first_doc"]] = (offset, hist_ts, hist_vals)
+        bt = np.asarray(r["tail_ts"], dtype=np.int64) + offset
+        bv = np.asarray(r["tail_vals"], dtype=np.int64)
+        hist_ts = np.concatenate([hist_ts, bt])
+        hist_vals = np.concatenate([hist_vals, bv])
+        offset += r["ntok_total"]
+        # trim: keep only what any future frame can reach
+        keep_from = 0
+        if tail_range > 0:
+            keep_from = int(np.searchsorted(hist_ts, offset - tail_range,
+                                            side="left"))
+        keep_from = min(keep_from, max(0, len(hist_ts) - tail_rows))
+        hist_ts = hist_ts[keep_from:]
+        hist_vals = hist_vals[keep_from:]
+    return out
+
+
+class _BlockWindow:
+    """Pass 2: evaluate all specs on (prepended history + block rows);
+    emit block rows only."""
+
+    def __init__(self, plan_ref, specs_aggs, value_col, order_col,
+                 key_col, key_value):
+        self.plan = ray.get(plan_ref) if isinstance(
+            plan_ref, ray.ObjectRef) else plan_ref
+        self.specs_aggs = specs_aggs
+        self.value_col = value_col
+        self.order_col = order_col
+        self.key_col = key_col
+        self.key_value = key_value
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        first = b[self.order_col][0].as_py()
+        offset, hist_ts, hist_vals = self.plan[first]
+        v = b[self.value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        local_ts = np.concatenate(([0], np.cumsum(v)[:-1])) + offset
+        nh, nb = len(hist_ts), len(v)
+        ts = np.concatenate([hist_ts, local_ts])
+        vals = {self.value_col: np.concatenate(
+            [hist_vals, v]).astype(np.float64)}
+        is_primary = np.concatenate([np.zeros(nh, bool), np.ones(nb, bool)])
+        cols = {
+            "doc_id": b[self.order_col],
+            "source": pa.array([self.key_value] * nb, type=pa.string()),
+            "ts": pa.array(local_ts, type=pa.int64()),
+            "n_tok": b[self.value_col],
+        }
+        for spec, aggs in self.specs_aggs:
+            res = eval_aggs(ts, vals, list(aggs), spec,
+                            is_primary=is_primary)
+            for a in aggs:
+                arr = res[a.name][nh:]
+                if a.func in ("count", "count_where", "distinct_count",
+                              "row_number"):
+                    cols[a.name] = pa.array(
+                        np.nan_to_num(arr).astype(np.int64))
+                else:
+                    cols[a.name] = pa.array(arr, type=pa.float64(),
+                                            from_pandas=True)
+        return pa.table(cols)
+
+
+def hot_entity_corpus_features(
+    sub: ray.data.Dataset,
+    key_value: str,
+    specs_aggs: Sequence[tuple[WindowSpec, Sequence[Agg]]],
+    value_col: str = "n_tok",
+    order_col: str = "doc_id",
+    key_col: str = "source",
+) -> ray.data.Dataset:
+    """Block-parallel corpus window features for ONE hot entity.
+
+    ``sub`` must contain only this entity's rows. Row_number within
+    kernel runs is per-block — don't use row_number aggs here.
+    """
+    tail_rows = max((s.preceding_rows or 0) for s, _ in specs_aggs) + 1
+    tail_range = max((s.preceding_range or 0) for s, _ in specs_aggs)
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # right-size blocks: enough for every CPU, big enough to amortize
+    # the per-block summary/plan overhead
+    ordered = sub.select_columns([order_col, value_col]) \
+        .sort(order_col).repartition(max(8, cpus)).materialize()
+    summaries = ordered.map_batches(
+        _BlockSummary(value_col, order_col, tail_rows, tail_range),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    plan = _assemble_offsets(summaries.take_all(), tail_rows, tail_range)
+    plan_ref = ray.put(plan)
+    specs = [(s, list(a)) for s, a in specs_aggs]
+
+    def block_window(b: pa.Table) -> pa.Table:
+        return _BlockWindow(ray.get(plan_ref), specs, value_col,
+                            order_col, key_col, key_value)(b)
+
+    return ordered.map_batches(block_window, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)

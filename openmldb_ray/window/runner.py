@@ -167,7 +167,7 @@ def window_agg_multi(
     *,
     union_ds: Sequence[ray.data.Dataset] = (),
     passthrough: Sequence[str] | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     sort_cols: Sequence[str] | None = None,
     run_transform: Callable[[pa.Table], pa.Table] | None = None,
     input_cols: Sequence[str] | None = None,
@@ -182,6 +182,13 @@ def window_agg_multi(
     order-key dropping is skipped (the transform owns axis validity)
     and ``input_cols`` must list the physical columns to shuffle.
     """
+    if num_buckets is None:
+        # measured: per-shuffle-partition fixed cost ~150ms dominates
+        # small jobs; cpus/2 partitions saturate the kernel stage while
+        # keeping shuffle overhead low. Raise for data where a
+        # partition would exceed ~1-2 GB (100 TB: buckets ~ bytes/1GB).
+        from openmldb_ray.context import default_num_buckets
+        num_buckets = default_num_buckets()
     specs_aggs = [(s, list(a)) for s, a in specs_aggs]
     keys = specs_aggs[0][0].keys
     for s, _ in specs_aggs:
@@ -234,7 +241,7 @@ def window_agg(
     *,
     union_ds: Sequence[ray.data.Dataset] = (),
     passthrough: Sequence[str] | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Windowed aggregation over a Dataset; one output row per input row
     (minus dropped NULL/negative order keys).

@@ -76,11 +76,9 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
+    sys.path.insert(0, ".")
     from openmldb_ray.context import tune_data_context
-    sys.path.insert(0, ".")
     tune_data_context()
-
-    sys.path.insert(0, ".")
     import __ray_entry__ as entry
 
     con = duckdb.connect()

@@ -30,6 +30,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "32000000"))
+ONLY = os.environ.get("GRAFT_BENCH_ONLY", "")
 CORPUS_CACHE = f"/tmp/openmldb_ray_bench/corpus_{BENCH_DOCS}"
 OUT_DIR = "/tmp/openmldb_ray_bench/out"
 
@@ -50,7 +52,10 @@ def bench_corpus_flagship() -> tuple[float, int]:
     corpus = ray.data.read_parquet(path, file_extensions=["parquet"],
                                    columns=["doc_id", "n_tok", "source"],
                                    override_num_blocks=max(16, NUM_CPUS * 2))
-    res = run_flagship(corpus)
+    # dim density: ~1 checkpoint row per 64 docs at bench scale (a
+    # realistic dimension size; the broadcast index collects it)
+    dim_mod = 7 if BENCH_DOCS <= 1_000_000 else 64
+    res = run_flagship(corpus, dim_modulo=dim_mod)
     checkpoint(res, out, force=True)
     wall = time.time() - t0
     with open(out + "/_SUCCESS") as fh:
@@ -135,6 +140,8 @@ def run_all() -> dict:
     }
     queries, rows_out = {}, {}
     for name, fn in benches.items():
+        if ONLY and name != ONLY:
+            continue
         wall, rows = fn()
         queries[name] = round(wall, 3)
         rows_out[name] = rows
@@ -147,7 +154,8 @@ def run_all() -> dict:
         "queries": queries,
         "rows": rows_out,
         "sequences_per_sec": round(rows_out["corpus_flagship"]
-                                   / queries["corpus_flagship"], 1),
+                                   / queries["corpus_flagship"], 1)
+        if "corpus_flagship" in queries else None,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_docs": BENCH_DOCS,
@@ -157,8 +165,12 @@ def run_all() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job (corpus_flagship over the SCALING_DOCS corpus), same
+    input, two parallelism levels in fresh processes; scaling
+    efficiency = throughput_hi / (throughput_lo * hi/lo)."""
     import subprocess
-    env_common = dict(os.environ, GRAFT_BENCH_DOCS=str(BENCH_DOCS))
+    env_common = dict(os.environ, GRAFT_BENCH_DOCS=str(SCALING_DOCS),
+                      GRAFT_BENCH_ONLY="corpus_flagship")
 
     def one(ncpu: int) -> dict:
         env = dict(env_common, RAY_GRAFT_CPUS=str(ncpu))
@@ -167,8 +179,8 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # warm the page cache + corpus cache untimed
-    one(NUM_CPUS)
+    # warm run: generates/caches the corpus + warms the page cache
+    one(8)
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
     t_lo = r_lo["queries"]["corpus_flagship"]
@@ -184,7 +196,7 @@ def run_scaling() -> dict:
         "throughput_lo": round(thr_lo, 1),
         "throughput_hi": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "bench_docs": BENCH_DOCS,
+        "bench_docs": SCALING_DOCS,
     }
 
 

@@ -49,9 +49,13 @@ def order_to_int64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def column_to_float(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Numeric column -> float64 numpy with NULLs as NaN (kernel input)."""
+    """Numeric column -> float64 numpy with NULLs as NaN; string/binary
+    columns -> object numpy with None (string aggs / cate keys)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) \
+            or pa.types.is_binary(arr.type):
+        return np.asarray(arr.to_pandas(), dtype=object)
     if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
         arr = arr.cast(pa.int64())
     out = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)

@@ -165,12 +165,19 @@ def corpus_features_fused(corpus: ray.data.Dataset,
         num_buckets=num_buckets)
 
 
-def build_dim(with_ts: ray.data.Dataset) -> ray.data.Dataset:
-    """Checkpoint dim table: every 7th doc per source becomes a
-    (source, ts, payload) row — the LAST JOIN right side (FIXTURES F3)."""
+def build_dim(with_ts: ray.data.Dataset,
+              modulo: int = 7) -> ray.data.Dataset:
+    """Checkpoint dim table: every ``modulo``-th doc per source becomes
+    a (source, ts, payload) row — the LAST JOIN right side (FIXTURES
+    F3). The broadcast path collects this to the driver, so callers at
+    large scale raise ``modulo`` to keep the dim a realistic dimension
+    size (bench: ~1 row per 64 docs)."""
     def pick(b: pa.Table) -> pa.Table:
-        did = b["doc_id"].to_pylist()
-        keep = np.array([int(d.rsplit("-", 1)[1]) % 7 == 0 for d in did])
+        # doc_id = "<source>-<i:08d>": the numeric tail is the last 8
+        # code units (doc index < 1e8 by construction at test/bench
+        # scale; beyond that, widen the format and this slice together)
+        nums = b["doc_id"].to_pandas().str[-8:].astype(np.int64)
+        keep = (nums % modulo == 0).to_numpy()
         t = b.filter(pa.array(keep))
         return pa.table({
             "source": t["source"],
@@ -217,7 +224,8 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
 
 def run_flagship(corpus: ray.data.Dataset, num_buckets: int | None = None,
                  include_tokens: bool = False,
-                 materialize_axis: bool = True) -> ray.data.Dataset:
+                 materialize_axis: bool = True,
+                 dim_modulo: int = 7) -> ray.data.Dataset:
     """The full BASELINE.md workload over an in-shape corpus Dataset:
     one output row per corpus doc with window features and the as-of
     dim payload.
@@ -231,7 +239,7 @@ def run_flagship(corpus: ray.data.Dataset, num_buckets: int | None = None,
     feats = corpus_features_skewaware(corpus, num_buckets)
     if materialize_axis:
         feats = feats.materialize()
-    dim = build_dim(feats)
+    dim = build_dim(feats, modulo=dim_modulo)
     joined = last_join(feats, dim, on="source", order_by="dim_ts",
                        left_ts="ts", payload=["payload"], broadcast=True)
     if include_tokens:

@@ -94,6 +94,28 @@ def eval_brute(
             if base == "count" and a.col is None and a.where is None:
                 out[a.name][i] = len(idxs)
                 continue
+            if "_cate" in base:
+                kind = base[:-5]
+                groups: dict = {}
+                for j in idxs:
+                    c = values[a.cate][j]
+                    if c is None or (isinstance(c, float) and math.isnan(c)):
+                        continue
+                    if f.endswith("_where") and not bool(values[a.where][j]):
+                        continue
+                    v = values[a.col][j] if a.col else 1.0
+                    if isinstance(v, float) and math.isnan(v):
+                        continue
+                    groups.setdefault(c, []).append(v)
+                red = {"sum": sum, "count": len, "min": min, "max": max,
+                       "avg": lambda g: sum(g) / len(g)}[kind]
+                from openmldb_ray.window.kernel import _fmt
+                out.setdefault(a.name, np.empty(n, dtype=object))
+                out[a.name] = out[a.name].astype(object)
+                out[a.name][i] = ",".join(
+                    f"{_fmt(k)}:{_fmt(red(groups[k]))}"
+                    for k in sorted(groups))
+                continue
             vals = []
             for j in idxs:
                 v = values[a.col][j]
@@ -114,6 +136,21 @@ def eval_brute(
                 out[a.name][i] = max(vals) if vals else np.nan
             elif base == "distinct_count":
                 out[a.name][i] = len(set(vals))
+            elif base == "top":
+                from openmldb_ray.window.kernel import _fmt
+                out[a.name] = out[a.name].astype(object)
+                out[a.name][i] = ",".join(
+                    _fmt(x) for x in sorted(vals, reverse=True)[: a.k])
+            elif base == "topn_frequency":
+                from openmldb_ray.window.kernel import _fmt
+                out[a.name] = out[a.name].astype(object)
+                if vals:
+                    vu, cnts = np.unique(vals, return_counts=True)
+                    order = np.lexsort((-vu, -cnts))
+                    out[a.name][i] = ",".join(_fmt(vu[j])
+                                              for j in order[: a.k])
+                else:
+                    out[a.name][i] = ""
             elif base == "top1_ratio":
                 if vals:
                     _, cnts = np.unique(vals, return_counts=True)

@@ -129,6 +129,34 @@ def _combine_self(hist: np.ndarray, selfv: np.ndarray, self_in: np.ndarray, op):
 # ---------------------------------------------------------------- aggregation
 
 
+def _isnull(x) -> bool:
+    if x is None:
+        return True
+    return isinstance(x, float) and np.isnan(x)
+
+
+def _fmt(x) -> str:
+    """Value formatting for string-emitting aggs (top / *_cate): integral
+    values render as ints (matches the reference for int columns; float
+    rendering is best-effort %g)."""
+    if isinstance(x, str):
+        return x
+    f = float(x)
+    if f.is_integer():
+        return str(int(f))
+    return f"{f:g}"
+
+
+def _frame_items(v: np.ndarray, start, hist_end, self_in, i) -> list:
+    """Non-null frame values of row i as a python list (slow path for
+    string-emitting aggs; frames are short by construction)."""
+    sl = v[start[i]:hist_end[i]]
+    items = [x for x in sl.tolist() if not _isnull(x)]
+    if self_in[i] and not _isnull(v[i]):
+        items.append(v[i])
+    return items
+
+
 def _to_float_with_nan(v: np.ndarray) -> np.ndarray:
     """float64 copy with NULLs as NaN (input may be a masked float array
     already, or an int array paired with an explicit null mask upstream)."""
@@ -261,6 +289,67 @@ def eval_aggs(
                 out[a.name] = np.cumsum(is_primary.astype(np.int64)).astype(
                     np.float64
                 )
+        elif base == "top":
+            # top k values, DESC, comma-joined (TopKContainer::OutputString,
+            # hybridse/src/udf/containers.h:99-137 iterates map_ reversed)
+            v = values[a.col]
+            res = np.empty(n, dtype=object)
+            for i in range(n):
+                items = _frame_items(v, start, hist_end, self_in, i)
+                items.sort(reverse=True)
+                res[i] = ",".join(_fmt(x) for x in items[: a.k])
+            out[a.name] = res
+        elif base == "topn_frequency":
+            # top-n values by frequency, ties by larger value first
+            v = values[a.col]
+            res = np.empty(n, dtype=object)
+            for i in range(n):
+                items = _frame_items(v, start, hist_end, self_in, i)
+                if items:
+                    vals_u, cnts = np.unique(items, return_counts=True)
+                    order = np.lexsort((-vals_u, -cnts))
+                    res[i] = ",".join(_fmt(vals_u[j])
+                                      for j in order[: a.k])
+                else:
+                    res[i] = ""
+            out[a.name] = res
+        elif base.endswith("_cate"):
+            # 'K:V,K:V' sorted by key asc (udfs_8h.md sum_cate)
+            agg_kind = base[: -5]
+            v = values[a.col] if a.col else None
+            cate = values[a.cate]
+            where = values[a.where].astype(bool) if a.where else None
+            res = np.empty(n, dtype=object)
+            for i in range(n):
+                idxs = list(range(start[i], hist_end[i]))
+                if self_in[i]:
+                    idxs.append(i)
+                groups: dict = {}
+                for j in idxs:
+                    if _isnull(cate[j]):
+                        continue
+                    if where is not None and not where[j]:
+                        continue
+                    val = v[j] if v is not None else 1.0
+                    if v is not None and _isnull(val):
+                        continue
+                    groups.setdefault(cate[j], []).append(val)
+                parts = []
+                for k in sorted(groups):
+                    g = groups[k]
+                    if agg_kind == "sum":
+                        r = sum(g)
+                    elif agg_kind == "count":
+                        r = len(g)
+                    elif agg_kind == "avg":
+                        r = sum(g) / len(g)
+                    elif agg_kind == "min":
+                        r = min(g)
+                    else:
+                        r = max(g)
+                    parts.append(f"{_fmt(k)}:{_fmt(r)}")
+                res[i] = ",".join(parts)
+            out[a.name] = res
         elif base == "top1_ratio":
             v = values[a.col]
             res = np.full(n, np.nan)

@@ -49,10 +49,17 @@ _TAG = "__tag__"
 _BUCKET = "__bucket__"
 
 _INT_FUNCS = {"count", "count_where", "distinct_count", "row_number"}
+_STR_FUNCS = {"top", "topn_frequency", "sum_cate", "count_cate", "avg_cate",
+              "min_cate", "max_cate", "sum_cate_where", "count_cate_where",
+              "avg_cate_where", "min_cate_where", "max_cate_where"}
 
 
 def _agg_type(a: Agg) -> pa.DataType:
-    return pa.int64() if a.func in _INT_FUNCS else pa.float64()
+    if a.func in _INT_FUNCS:
+        return pa.int64()
+    if a.func in _STR_FUNCS:
+        return pa.string()
+    return pa.float64()
 
 
 class _BucketWindow:
@@ -97,7 +104,9 @@ class _BucketWindow:
         starts = np.concatenate(([0], boundaries, [n])).astype(np.int64)
 
         all_aggs = [a for _, aggs in self.specs_aggs for a in aggs]
-        outs = {a.name: np.full(n, np.nan) for a in all_aggs}
+        outs = {a.name: (np.full(n, None, dtype=object)
+                         if a.func in _STR_FUNCS else np.full(n, np.nan))
+                for a in all_aggs}
         out_tables = []
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
@@ -105,7 +114,8 @@ class _BucketWindow:
             if self.run_transform is not None:
                 run = self.run_transform(run)
             value_cols = sorted({a.col for a in all_aggs if a.col}
-                                | {a.where for a in all_aggs if a.where})
+                                | {a.where for a in all_aggs if a.where}
+                                | {a.cate for a in all_aggs if a.cate})
             vals = {c: column_to_float(run[c]) for c in value_cols}
             for spec, aggs in self.specs_aggs:
                 ts = order_to_int64(run[spec.order_by])
@@ -127,7 +137,10 @@ class _BucketWindow:
             names.append(a.name)
             arr = outs[a.name][is_primary]
             if a.func in _INT_FUNCS:
-                cols.append(pa.array(np.nan_to_num(arr).astype(np.int64)))
+                cols.append(pa.array(np.nan_to_num(
+                    arr.astype(np.float64)).astype(np.int64)))
+            elif a.func in _STR_FUNCS:
+                cols.append(pa.array(arr.tolist(), type=pa.string()))
             else:
                 cols.append(pa.array(arr, type=pa.float64(),
                                      from_pandas=True))
@@ -205,6 +218,7 @@ def window_agg_multi(
             + [s.order_by for s, _ in specs_aggs]
             + [a.col for _, aggs in specs_aggs for a in aggs if a.col]
             + [a.where for _, aggs in specs_aggs for a in aggs if a.where]
+            + [a.cate for _, aggs in specs_aggs for a in aggs if a.cate]
             + passthrough))
     input_cols = list(input_cols)
     has_union = len(union_ds) > 0

@@ -91,6 +91,9 @@ AGG_FUNCS = frozenset(
         "sum_where", "count_where", "avg_where", "min_where", "max_where",
         "lag", "at", "first_value", "last_value_in_frame", "row_number",
         "top", "topn_frequency", "top1_ratio",
+        "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
+        "sum_cate_where", "count_cate_where", "avg_cate_where",
+        "min_cate_where", "max_cate_where",
     }
 )
 
@@ -104,6 +107,8 @@ class Agg:
     - ``name``: output column name (must match the oracle SQL alias).
     - ``where``: boolean column gating *_where variants.
     - ``k``: lag/at offset, or top-k size.
+    - ``cate``: category column for the *_cate family (output
+      'K:V,K:V' sorted by key ascending, udfs_8h.md sum_cate).
     """
 
     func: str
@@ -111,9 +116,12 @@ class Agg:
     name: str
     where: str | None = None
     k: int = 0
+    cate: str | None = None
 
     def __post_init__(self):
         if self.func not in AGG_FUNCS:
             raise ValueError(f"unknown window function: {self.func}")
         if self.func.endswith("_where") and self.where is None:
             raise ValueError(f"{self.func} requires where=")
+        if "_cate" in self.func and self.cate is None:
+            raise ValueError(f"{self.func} requires cate=")

@@ -34,36 +34,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class _ScoreBatch:
+def _score_batch(batch: pa.Table, qids, qm: np.ndarray, id_col: str,
+                 emb_col: str, k: int) -> pa.Table:
     """Per-batch cosine scores against the broadcast queries; emits the
     local top-k per query (partial reduce — only k rows per query per
     batch leave the task)."""
-
-    def __init__(self, qref, id_col: str, emb_col: str, k: int):
-        q = ray.get(qref)
-        self.qids = q["ids"]
-        self.qm = q["matrix"]          # (Q, d), already normalized
-        self.id_col = id_col
-        self.emb_col = emb_col
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_emb_matrix(batch, self.emb_col))
-        sims = self.qm @ m.T          # (Q, n)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[0]):
-            sel = part[qi]
-            out_q.extend([self.qids[qi]] * len(sel))
-            out_id.extend(ids[sel].tolist())
-            out_sim.extend(sims[qi, sel].tolist())
-        return pa.table({
-            "query_id": pa.array(out_q),
-            "vec_id": pa.array(out_id),
-            "cosine_sim": pa.array(out_sim, type=pa.float64()),
-        })
+    m = _normalize(_emb_matrix(batch, emb_col))
+    sims = qm @ m.T          # (Q, n)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    k = min(k, sims.shape[1])
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    nq = sims.shape[0]
+    sel = part.reshape(-1)
+    out_q = np.repeat(np.asarray(qids), k)
+    return pa.table({
+        "query_id": pa.array(out_q),
+        "vec_id": pa.array(ids[sel]),
+        "cosine_sim": pa.array(np.take_along_axis(sims, part, axis=1)
+                               .reshape(-1), type=pa.float64()),
+    })
 
 
 def knn_bruteforce(
@@ -80,10 +69,16 @@ def knn_bruteforce(
     by vec_id ascending (deterministic)."""
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     qref = ray.put({"ids": list(query_ids), "matrix": qm})
-    partial = ds.map_batches(
-        _ScoreBatch, batch_format="pyarrow", batch_size=8192,
-        fn_constructor_args=(qref, id_col, emb_col, k),
-        concurrency=concurrency or pool_concurrency())
+
+    # stateless tasks (elastic; no actor-pool ramp) — the query matrix
+    # is ray.put once and fetched zero-copy per task
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        return _score_batch(batch, q["ids"], q["matrix"], id_col,
+                            emb_col, k)
+
+    partial = ds.map_batches(score, batch_format="pyarrow",
+                             batch_size=8192)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine_sim", "vec_id"],
@@ -140,21 +135,13 @@ def knn_lsh(
             cand_buckets.add(int(b) ^ (1 << j))
     keep = ray.put(cand_buckets)
 
-    tagged = ds.map_batches(_LshTag, batch_format="pyarrow", batch_size=8192,
-                            fn_constructor_args=(pref, emb_col),
-                            concurrency=concurrency or pool_concurrency())
+    def tag_and_filter(b: pa.Table) -> pa.Table:
+        t = _LshTag(pref, emb_col)(b)
+        bk = t["lsh_bucket"].to_numpy(zero_copy_only=False)
+        mask = np.isin(bk, np.fromiter(ray.get(keep), dtype=np.int64))
+        return t.filter(pa.array(mask))
 
-    class Filter:
-        def __init__(self):
-            self.keep = ray.get(keep)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            bk = b["lsh_bucket"].to_numpy(zero_copy_only=False)
-            mask = np.isin(bk, np.fromiter(self.keep, dtype=np.int64))
-            return b.filter(pa.array(mask))
-
-    pruned = tagged.map_batches(Filter, batch_format="pyarrow",
-                                batch_size=8192,
-                                concurrency=concurrency or pool_concurrency())
+    pruned = ds.map_batches(tag_and_filter, batch_format="pyarrow",
+                            batch_size=8192)
     return knn_bruteforce(pruned.drop_columns(["lsh_bucket"]), qm, query_ids,
                           k, id_col, emb_col, concurrency)

@@ -63,6 +63,138 @@ def detect_hot_keys(ds: ray.data.Dataset, key: str,
     return hot.index.tolist()
 
 
+def salted_window_agg(
+    ds: ray.data.Dataset,
+    spec: WindowSpec,
+    aggs: Sequence[Agg],
+    *,
+    passthrough: Sequence[str] | None = None,
+    num_buckets: int | None = None,
+    hot_frac: float = 0.05,
+    min_rows: int = 100_000,
+    parts: int | None = None,
+    sample_frac: float = 0.02,
+) -> ray.data.Dataset:
+    """The reference's quantile-salting scheme, generic form — for a
+    window whose ORDER BY axis exists as a physical column (events-
+    style tables) and whose frame is time-bounded (``preceding_range``;
+    a rows bound cannot be replicated by time proximity).
+
+    Mirrors WindowAggPlan.windowPartitionWithSkewOpt
+    (WindowAggPlan.scala:194-314 + SkewDataFrameUtils.scala:26-143):
+
+    1. distribution pass: partial-agg key counts -> hot keys; sampled
+       ts quantiles per hot key -> part boundaries (the
+       percentile_approx analog), broadcast;
+    2. tag each hot row PART_ID by quantile; re-emit the rows that a
+       later part's frames can reach (ts >= boundary - range) with
+       EXPANDED=true — they feed buffers, never emit (the same
+       buffer-only mechanics as WINDOW UNION);
+    3. shuffle on (key, PART_ID) instead of key -> a hot key spreads
+       over ``parts`` tasks; cold keys ride along with PART_ID=0.
+
+    Results are exactly equal to ``window_agg`` (tested).
+    """
+    import pyarrow.compute as pc
+
+    from openmldb_ray.context import cluster_cpus, default_num_buckets
+    from openmldb_ray.io import hash_columns, order_to_int64
+    from openmldb_ray.window.runner import _BUCKET, _TAG, _BucketWindow
+
+    if spec.preceding_range is None or spec.preceding_rows is not None:
+        raise ValueError("salted_window_agg requires a pure ROWS_RANGE "
+                         "frame (time-bounded history replication)")
+    if len(spec.keys) != 1:
+        raise ValueError("single partition key supported")
+    key = spec.keys[0]
+    aggs = list(aggs)
+    if passthrough is None:
+        passthrough = list(spec.keys) + [spec.order_by]
+    passthrough = list(passthrough)
+    num_buckets = num_buckets or default_num_buckets()
+    parts = parts or max(4, cluster_cpus() // 2)
+
+    hot = detect_hot_keys(ds, key, hot_frac, min_rows)
+    if not hot:
+        from openmldb_ray.window.runner import window_agg
+        return window_agg(ds, spec, aggs, passthrough=passthrough,
+                          num_buckets=num_buckets)
+
+    # sampled ts quantiles per hot key (distribution table analog)
+    hot_set = set(hot)
+
+    def sample(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[key], value_set=pa.array(list(hot_set)))
+        t = b.filter(mask)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({key: t[key], "__ts__": pa.array(
+                np.empty(0, dtype=np.int64))})
+        take = np.random.default_rng(42).random(n) < max(sample_frac,
+                                                         1000 / max(n, 1))
+        t = t.filter(pa.array(take))
+        return pa.table({key: t[key],
+                         "__ts__": pa.array(order_to_int64(
+                             t[spec.order_by]))})
+
+    samp = pa.concat_tables(
+        ds.map_batches(sample, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    bounds: dict = {}
+    sdf = samp.to_pandas()
+    for k, g in sdf.groupby(key):
+        qs = np.quantile(g["__ts__"].to_numpy(),
+                         np.linspace(0, 1, parts + 1)[1:-1])
+        bounds[k] = np.unique(qs.astype(np.int64))
+    bref = ray.put(bounds)
+    rng_t = int(spec.preceding_range)
+
+    def expand(b: pa.Table) -> pa.Table:
+        bd = ray.get(bref)
+        ts = order_to_int64(b[spec.order_by])
+        keys_np = b[key].to_numpy(zero_copy_only=False)
+        salt = np.zeros(len(ts), dtype=np.int32)
+        out_idx = [np.arange(len(ts))]
+        out_salt = [salt]
+        out_tag = [np.ones(len(ts), dtype=np.int8)]
+        for k, bnds in bd.items():
+            rows = np.flatnonzero(keys_np == k)
+            if len(rows) == 0:
+                continue
+            part = np.searchsorted(bnds, ts[rows], side="right")
+            salt[rows] = part.astype(np.int32)
+            # replicate history into each later part whose frames reach it
+            for q, b_q in enumerate(bnds, start=1):
+                need = rows[(ts[rows] >= b_q - rng_t) & (part < q)]
+                if len(need):
+                    out_idx.append(need)
+                    out_salt.append(np.full(len(need), q, dtype=np.int32))
+                    out_tag.append(np.zeros(len(need), dtype=np.int8))
+        idx = np.concatenate(out_idx)
+        t = b.take(pa.array(idx))
+        t = t.append_column("__salt__", pa.array(np.concatenate(out_salt)))
+        t = t.append_column(_TAG, pa.array(np.concatenate(out_tag)))
+        h = hash_columns(t, [key, "__salt__"], num_buckets)
+        return t.append_column(_BUCKET, pa.array(h))
+
+    cols = list(dict.fromkeys(
+        [key, spec.order_by] + [a.col for a in aggs if a.col]
+        + [a.where for a in aggs if a.where]
+        + [a.cate for a in aggs if a.cate] + passthrough))
+    tagged = ds.map_batches(lambda b: expand(b.select(cols)),
+                            batch_format="pyarrow")
+
+    from dataclasses import replace
+    spec2 = replace(spec, partition_by=(key, "__salt__"))
+    fn = _BucketWindow([(spec2, aggs)], passthrough, True,
+                       [spec.order_by], None, True)
+    try:
+        grouped = tagged.groupby(_BUCKET, num_partitions=num_buckets)
+    except TypeError:
+        grouped = tagged.groupby(_BUCKET)
+    return grouped.map_groups(fn, batch_format="pyarrow")
+
+
 class _BlockSummary:
     """Pass 1: per sorted block, emit (first_key, rows, ntok_total,
     tail arrays) — a few KB per block."""

@@ -350,6 +350,25 @@ def eval_aggs(
                     parts.append(f"{_fmt(k)}:{_fmt(r)}")
                 res[i] = ",".join(parts)
             out[a.name] = res
+        elif base in ("fz_window_split", "fz_window_split_by_key",
+                      "fz_window_split_by_value", "fz_join"):
+            from openmldb_ray.functions import feature_zero as fz
+            v = values[a.col]
+            res = np.empty(n, dtype=object)
+            for i in range(n):
+                items = _frame_items(v, start, hist_end, self_in, i)
+                if base == "fz_join":
+                    res[i] = fz.fz_join(items, *a.params)
+                else:
+                    fn = {"fz_window_split": fz.fz_split,
+                          "fz_window_split_by_key": fz.fz_split_by_key,
+                          "fz_window_split_by_value": fz.fz_split_by_value
+                          }[base]
+                    out_items: list = []
+                    for s in items:
+                        out_items.extend(fn(s, *a.params))
+                    res[i] = out_items
+            out[a.name] = res
         elif base == "top1_ratio":
             v = values[a.col]
             res = np.full(n, np.nan)

@@ -51,7 +51,10 @@ _BUCKET = "__bucket__"
 _INT_FUNCS = {"count", "count_where", "distinct_count", "row_number"}
 _STR_FUNCS = {"top", "topn_frequency", "sum_cate", "count_cate", "avg_cate",
               "min_cate", "max_cate", "sum_cate_where", "count_cate_where",
-              "avg_cate_where", "min_cate_where", "max_cate_where"}
+              "avg_cate_where", "min_cate_where", "max_cate_where",
+              "fz_join"}
+_LIST_FUNCS = {"fz_window_split", "fz_window_split_by_key",
+               "fz_window_split_by_value"}
 
 
 def _agg_type(a: Agg) -> pa.DataType:
@@ -59,6 +62,8 @@ def _agg_type(a: Agg) -> pa.DataType:
         return pa.int64()
     if a.func in _STR_FUNCS:
         return pa.string()
+    if a.func in _LIST_FUNCS:
+        return pa.list_(pa.string())
     return pa.float64()
 
 
@@ -105,7 +110,8 @@ class _BucketWindow:
 
         all_aggs = [a for _, aggs in self.specs_aggs for a in aggs]
         outs = {a.name: (np.full(n, None, dtype=object)
-                         if a.func in _STR_FUNCS else np.full(n, np.nan))
+                         if a.func in _STR_FUNCS or a.func in _LIST_FUNCS
+                         else np.full(n, np.nan))
                 for a in all_aggs}
         out_tables = []
         for i in range(len(starts) - 1):
@@ -141,6 +147,9 @@ class _BucketWindow:
                     arr.astype(np.float64)).astype(np.int64)))
             elif a.func in _STR_FUNCS:
                 cols.append(pa.array(arr.tolist(), type=pa.string()))
+            elif a.func in _LIST_FUNCS:
+                cols.append(pa.array(arr.tolist(),
+                                     type=pa.list_(pa.string())))
             else:
                 cols.append(pa.array(arr, type=pa.float64(),
                                      from_pandas=True))

@@ -94,6 +94,8 @@ AGG_FUNCS = frozenset(
         "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
         "sum_cate_where", "count_cate_where", "avg_cate_where",
         "min_cate_where", "max_cate_where",
+        "fz_window_split", "fz_window_split_by_key",
+        "fz_window_split_by_value", "fz_join",
     }
 )
 
@@ -117,6 +119,8 @@ class Agg:
     where: str | None = None
     k: int = 0
     cate: str | None = None
+    #: extra literal args (fz_* delimiters etc.)
+    params: tuple = ()
 
     def __post_init__(self):
         if self.func not in AGG_FUNCS:

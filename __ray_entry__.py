@@ -428,6 +428,53 @@ def _q_multimodal_decode(sf_dir):
     return out.select_columns(["doc_id", "payload_bytes"])
 
 
+def _q_window_salted(sf_dir):
+    """Quantile-salted window path (hot threshold forced low so every
+    user is 'hot') — must match the plain-window SQL oracle exactly."""
+    from openmldb_ray.skew import salted_window_agg
+    from openmldb_ray.window import Agg, WindowSpec
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US)
+    return salted_window_agg(ev, spec,
+                             [Agg("sum", "value", "s"),
+                              Agg("count", None, "n")],
+                             passthrough=["event_id", "user_id", "ts"],
+                             hot_frac=0.001, min_rows=10, parts=4)
+
+
+def _q_fz_window(sf_dir):
+    """fz_* window forms over events.props (rows-only check)."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "props"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=3)
+    out = window_agg(ev, spec, [
+        Agg("fz_window_split", "props", "parts", params=(",",)),
+        Agg("fz_join", "props", "joined", params=("|",))],
+        passthrough=["event_id", "user_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "n_parts": pc.list_value_length(t["parts"]).cast(pa.int64()),
+            "joined": t["joined"],
+        })
+    return out.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_top_cate(sf_dir):
+    """top / *_cate string aggregates (rows-only; no ANSI-SQL form)."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=10)
+    return window_agg(ev, spec, [
+        Agg("top", "value", "top3", k=3),
+        Agg("distinct_count", "event_type", "dc_types"),
+        Agg("count_cate", "value", "cnt_by_type", cate="event_type"),
+        Agg("avg_cate", "value", "avg_by_type", cate="event_type")],
+        passthrough=["event_id", "user_id", "ts"])
+
+
 def _q_window_maxsize(sf_dir):
     from openmldb_ray.window import Agg, WindowSpec, window_agg
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -447,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_where": _q_window_where,
         "window_union": _q_window_union,
         "window_maxsize": _q_window_maxsize,
+        "window_salted": _q_window_salted,
+        "fz_window": _q_fz_window,
+        "top_cate": _q_top_cate,
         "lag_lead": _q_lag_lead,
         "sessionize": _q_sessionize,
         "backfill": _q_backfill,
@@ -549,6 +599,13 @@ def oracle_sql() -> dict[str, str]:
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+        "window_salted": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)""",
         "window_union": """
           SELECT event_id, user_id, ts, s, n FROM (
             SELECT event_id, user_id, ts,

@@ -246,11 +246,8 @@ def eval_aggs(
             v = values[a.col]
             res = np.zeros(n, dtype=np.float64)
             for i in range(n):
-                sl = v[start[i]:hist_end[i]]
-                items = sl[~np.isnan(sl)]
-                if self_in[i] and not np.isnan(v[i]):
-                    items = np.concatenate((items, v[i:i + 1]))
-                res[i] = len(np.unique(items))
+                res[i] = len(set(_frame_items(v, start, hist_end,
+                                              self_in, i)))
             out[a.name] = res
         elif base in ("lag", "at"):
             # value k buffer-rows before the current row, NULL outside the
@@ -373,9 +370,7 @@ def eval_aggs(
             v = values[a.col]
             res = np.full(n, np.nan)
             for i in range(n):
-                sl = list(v[start[i]:hist_end[i]][~np.isnan(v[start[i]:hist_end[i]])])
-                if self_in[i] and not np.isnan(v[i]):
-                    sl.append(v[i])
+                sl = _frame_items(v, start, hist_end, self_in, i)
                 if sl:
                     vals, cnts = np.unique(sl, return_counts=True)
                     res[i] = cnts.max() / len(sl)

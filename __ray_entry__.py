@@ -428,6 +428,43 @@ def _q_multimodal_decode(sf_dir):
     return out.select_columns(["doc_id", "payload_bytes"])
 
 
+def _q_window_ect(sf_dir):
+    """EXCLUDE CURRENT_TIME path; events ts are unique per user so the
+    result equals the plain window — a confirming oracle for the ECT
+    code path (tie behavior itself is covered by YAML goldens)."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US,
+                      exclude_current_time=True)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_window_open_preceding(sf_dir):
+    """OPEN (exclusive) start bound == closed bound one microsecond
+    shorter on a microsecond axis."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US,
+                      open_preceding=True)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
+def _q_window_inw(sf_dir):
+    """INSTANCE_NOT_IN_WINDOW == SQL EXCLUDE CURRENT ROW when ts are
+    unique (prior peers remain either way)."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US,
+                      instance_not_in_window=True)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
 def _q_window_salted(sf_dir):
     """Quantile-salted window path (hot threshold forced low so every
     user is 'hot') — must match the plain-window SQL oracle exactly."""
@@ -495,6 +532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_union": _q_window_union,
         "window_maxsize": _q_window_maxsize,
         "window_salted": _q_window_salted,
+        "window_ect": _q_window_ect,
+        "window_open_preceding": _q_window_open_preceding,
+        "window_inw": _q_window_inw,
         "fz_window": _q_fz_window,
         "top_cate": _q_top_cate,
         "lag_lead": _q_lag_lead,
@@ -606,6 +646,27 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                        AND CURRENT ROW)""",
+        "window_ect": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)""",
+        "window_open_preceding": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN (INTERVAL 1 HOUR - INTERVAL 1
+                       MICROSECOND) PRECEDING AND CURRENT ROW)""",
+        "window_inw": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW EXCLUDE CURRENT ROW)""",
         "window_union": """
           SELECT event_id, user_id, ts, s, n FROM (
             SELECT event_id, user_id, ts,

@@ -394,6 +394,19 @@ def _q_ann_lsh(sf_dir):
     return knn_lsh(emb, qm, qids, k=10)
 
 
+def _q_embedding_dups(sf_dir):
+    """Exact all-pairs mode (num_bits=0) so the DuckDB cross-join
+    oracle applies; the LSH-bucketed mode is the scale path."""
+    from openmldb_ray.ops.ann import embedding_dup_pairs
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=0.45, num_bits=0)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "sim_r": pc.round(t["cosine_sim"], ndigits=4)})
+    return out.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_minhash_pairs(sf_dir):
     from openmldb_ray.ops.dedup import minhash_duplicate_pairs
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -560,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "minhash_pairs": _q_minhash_pairs,
+        "embedding_dups": _q_embedding_dups,
         "simhash": _q_simhash,
         "multimodal_decode": _q_multimodal_decode,
     }
@@ -804,6 +818,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
           FROM documents""",
+        "embedding_dups": """
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                   AS sim_r
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
         "ann_bruteforce": """
           WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe

@@ -106,6 +106,56 @@ class _LshTag:
             "lsh_bucket", pa.array(self.bucket(m).astype(np.int64)))
 
 
+def embedding_dup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_bits: int = 10,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    bucketing, exact pairwise cosine within each bucket, keep pairs
+    with sim >= threshold (id_a < id_b). High-cosine pairs collide in
+    the same bucket with probability (1 - theta/pi)^num_bits —
+    ``num_bits`` trades recall for bucket size; ``num_bits=0`` puts
+    everything in one bucket — exact all-pairs (small corpora only)."""
+    first = ds.take(1)
+    d = len(first[0][emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, max(num_bits, 1)))
+    pref = ray.put(planes)
+
+    def tag(b: pa.Table) -> pa.Table:
+        if num_bits == 0:
+            return b.append_column(
+                "lsh_bucket", pa.array(np.zeros(b.num_rows, np.int64)))
+        return _LshTag(pref, emb_col)(b)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "cosine_sim": []})
+        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        ids = g[id_col].to_numpy()
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2,
+                             "cosine_sim": sims[iu[keep], ju[keep]]})
+    bucket_pairs.__name__ = "bucket_cosine_pairs"
+
+    return tagged.groupby("lsh_bucket").map_groups(bucket_pairs,
+                                                   batch_format="pandas")
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     queries,

@@ -94,22 +94,20 @@ class MinHasher:
         return prod.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Explode each doc into num_bands (band_id, band_hash, id) rows."""
-        ids, bands, hashes = [], [], []
+        """Explode each doc into num_bands (band_id, band_hash, id) rows.
+        Band hashing is vectorized: (docs, bands, rows_per_band) folded
+        with a polynomial mix along the last axis."""
         r = self.rows_per_band
-        for i, t in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(t)
-            for bnd in range(self.num_bands):
-                chunk = sig[bnd * r:(bnd + 1) * r]
-                h = np.uint64(0xCBF29CE484222325)
-                for x in chunk:
-                    h = np.uint64(((int(h) ^ int(x)) * 0x100000001B3)
-                                  & 0xFFFFFFFFFFFFFFFF)
-                ids.append(i)
-                bands.append(bnd)
-                hashes.append(int(h))
-        return pd.DataFrame({"band_id": np.array(bands, dtype=np.int32),
-                             "band_hash": np.array(hashes, dtype=np.uint64),
+        sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
+        chunks = sigs.reshape(len(sigs), self.num_bands, r)
+        h = np.full(chunks.shape[:2], 0xCBF29CE484222325, dtype=np.uint64)
+        for j in range(r):
+            h = ((h ^ chunks[:, :, j]) * np.uint64(0x100000001B3))
+        ids = np.repeat(batch[self.id_col].to_numpy(), self.num_bands)
+        bands = np.tile(np.arange(self.num_bands, dtype=np.int32),
+                        len(sigs))
+        return pd.DataFrame({"band_id": bands,
+                             "band_hash": h.reshape(-1),
                              self.id_col: ids})
 
 
@@ -145,24 +143,47 @@ def minhash_duplicate_pairs(
                              shingle_k),
         concurrency=concurrency or pool_concurrency())
 
+    # bucket the (band_id, band_hash) space so the shuffle has B
+    # groups, not one python fn call per distinct band hash; pair
+    # generation inside the bucket is a vectorized pandas groupby
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[["band_id", "band_hash"]],
+                                       index=False).to_numpy()
+        b["__bkt__"] = (h % np.uint64(64)).astype(np.int32)
+        return b
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(grp[id_col].unique().tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        df = pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        return df.drop_duplicates()
     pairs.__name__ = "band_pairs"
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # distinct candidate pairs (bands produce repeats)
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = bands.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__bkt__").map_groups(pairs, batch_format="pandas")
+    # distinct candidate pairs (different bands can emit the same pair)
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])
+    dedup_pairs.__name__ = "dedup_pairs"
+    cand = cand.map_batches(add_pair_bucket := (lambda b: b.assign(
+        __pbkt__=(pd.util.hash_pandas_object(b[["id_a", "id_b"]],
+                                             index=False).to_numpy()
+                  % np.uint64(32)).astype(np.int32))),
+        batch_format="pandas") \
+        .groupby("__pbkt__").map_groups(dedup_pairs, batch_format="pandas") \
+        .drop_columns(["__pbkt__"])
 
-    texts = {r[id_col]: r[text_col]
-             for r in ds.select_columns([id_col, text_col]).iter_rows()}
+    texts = {}
+    for tb in ds.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16):
+        texts.update(zip(tb[id_col].to_pylist(), tb[text_col].to_pylist()))
     ref = ray.put(texts)
     kk = shingle_k
 

@@ -394,6 +394,12 @@ def _q_ann_lsh(sf_dir):
     return knn_lsh(emb, qm, qids, k=10)
 
 
+def _q_ngram_jaccard(sf_dir):
+    from openmldb_ray.ops.dedup import ngram_jaccard_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.3)
+
+
 def _q_embedding_dups(sf_dir):
     """Exact all-pairs mode (num_bits=0) so the DuckDB cross-join
     oracle applies; the LSH-bucketed mode is the scale path."""
@@ -574,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "minhash_pairs": _q_minhash_pairs,
         "embedding_dups": _q_embedding_dups,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "multimodal_decode": _q_multimodal_decode,
     }

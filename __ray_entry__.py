@@ -305,6 +305,28 @@ def _q_scalar_string_math(sf_dir):
     return p.map_batches(fn, batch_format="pyarrow")
 
 
+def _q_scalar_more(sf_dir):
+    """Second scalar batch: LIKE match, math/log family, null handling."""
+    from openmldb_ray.functions import scalar as F
+    p = _read(sf_dir, "part",
+              ["p_partkey", "p_name", "p_type", "p_size", "p_retailprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        size_d = pc.cast(t["p_size"], pa.float64())
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "is_brass": F.like_match(t["p_name"], "%brass%"),
+            "price_ln": F.ln(t["p_retailprice"]),
+            "price_log10": F.log10(t["p_retailprice"]),
+            "size_sqrt": F.sqrt(size_d),
+            "size_pow2": F.pow_(size_d, 2.0),
+            "size_exp_neg": F.exp(pc.negate(size_d)),
+            "type_rev": F.reverse(t["p_type"]),
+            "nvl_name": F.if_null(t["p_name"], "unknown"),
+        })
+    return p.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_scalar_datetime(sf_dir):
     ev = _read(sf_dir, "events", ["event_id", "ts"])
 
@@ -600,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join": _q_left_join,
         "scalar_string_math": _q_scalar_string_math,
         "scalar_datetime": _q_scalar_datetime,
+        "scalar_more": _q_scalar_more,
         "corpus_features": _q_corpus_features,
         "corpus_asof": _q_corpus_asof,
         "token_count": _q_token_count,
@@ -825,6 +848,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
                  round(p_retailprice, 0) AS price_r,
                  p_brand || '-' || p_type AS brand_type
+          FROM part""",
+        "scalar_more": """
+          SELECT p_partkey,
+                 p_name LIKE '%brass%' AS is_brass,
+                 ln(p_retailprice) AS price_ln,
+                 log10(p_retailprice) AS price_log10,
+                 sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+                 pow(CAST(p_size AS DOUBLE), 2) AS size_pow2,
+                 exp(-CAST(p_size AS DOUBLE)) AS size_exp_neg,
+                 reverse(p_type) AS type_rev,
+                 coalesce(p_name, 'unknown') AS nvl_name
           FROM part""",
         "scalar_datetime": """
           SELECT event_id,

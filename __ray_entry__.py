@@ -465,6 +465,13 @@ def _q_embedding_dups(sf_dir):
     return out.map_batches(fn, batch_format="pyarrow")
 
 
+def _q_ann_ivf(sf_dir):
+    from openmldb_ray.ops.ann import knn_ivf
+    qids, qm = _ann_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(emb, qm, qids, k=10, num_clusters=8, nprobe=3)
+
+
 def _q_minhash_pairs(sf_dir):
     from openmldb_ray.ops.dedup import minhash_duplicate_pairs
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -632,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "minhash_pairs": _q_minhash_pairs,
         "embedding_dups": _q_embedding_dups,
         "ngram_jaccard": _q_ngram_jaccard,

@@ -1,0 +1,48 @@
+"""ANN variants: brute-force exactness (vs numpy), IVF/LSH recall."""
+
+import numpy as np
+import pytest
+import ray.data
+
+
+def _mk(n=2000, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    return m, rows
+
+
+def test_bruteforce_exact(ray_session):
+    from openmldb_ray.ops.ann import knn_bruteforce
+    m, rows = _mk()
+    ds = ray.data.from_items(rows)
+    q = m[:3].astype(np.float64)
+    out = knn_bruteforce(ds, q, [0, 1, 2], k=5).to_pandas()
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = mm @ mm[qi]
+        exp = set(np.argsort(-sims)[:5].tolist())
+        got = set(out[out["query_id"] == qi]["vec_id"].tolist())
+        assert got == exp, qi
+
+
+@pytest.mark.parametrize("variant", ["ivf", "lsh"])
+def test_approx_recall(ray_session, variant):
+    from openmldb_ray.ops.ann import knn_bruteforce, knn_ivf, knn_lsh
+    m, rows = _mk()
+    ds = ray.data.from_items(rows).materialize()
+    q = m[:4].astype(np.float64)
+    exact = knn_bruteforce(ds, q, [0, 1, 2, 3], k=10).to_pandas()
+    if variant == "ivf":
+        approx = knn_ivf(ds, q, [0, 1, 2, 3], k=10, num_clusters=8,
+                         nprobe=4).to_pandas()
+    else:
+        approx = knn_lsh(ds, q, [0, 1, 2, 3], k=10, num_bits=4).to_pandas()
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # the query vector itself is in the corpus -> its own cluster/bucket
+    # is always probed; average recall should be clearly non-trivial
+    assert np.mean(recalls) > 0.3, recalls

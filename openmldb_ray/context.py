@@ -57,10 +57,19 @@ def pool_concurrency(frac: float = 0.5, cap: int | None = None
 
 
 def default_num_buckets(floor: int = 8) -> int:
-    """Shuffle bucket count. Measured on the hash-shuffle path: each
-    partition carries ~150ms fixed cost, so cpus/2 partitions beat
-    4x-cpus by 2-3x on multi-million-row jobs while still saturating
-    the downstream kernel stage. At 100 TB raise this so one bucket
-    stays under ~1-2 GB (buckets ~ data_bytes / 1 GB) — pass
-    num_buckets explicitly in that regime."""
-    return max(floor, cluster_cpus() // 2)
+    """Shuffle bucket count (measured sweeps at 22M rows):
+
+    - key-based repartition under HASH_SHUFFLE: 2x cpus is optimal
+      (8 cpus: nb16 17.1s < nb8 18.3s; 32 cpus: nb32 7.5s ~ nb64 7.6s
+      < nb16 9.2s);
+    - groupby sort-shuffle fallback: fewer partitions win (~150 ms
+      fixed cost each) -> cpus/2.
+
+    At 100 TB raise this so one bucket stays under ~1-2 GB (buckets ~
+    data_bytes / 1 GB) -- pass num_buckets explicitly in that regime."""
+    from ray.data.context import DataContext, ShuffleStrategy
+    cpus = cluster_cpus()
+    if DataContext.get_current().shuffle_strategy == \
+            ShuffleStrategy.HASH_SHUFFLE:
+        return max(floor, cpus * 2)
+    return max(floor, cpus // 2)

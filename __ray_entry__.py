@@ -543,6 +543,14 @@ def _q_window_inw(sf_dir):
                       passthrough=["event_id", "user_id", "ts"])
 
 
+def _q_window_distinct(sf_dir):
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=10)
+    return window_agg(ev, spec, [Agg("distinct_count", "value", "dc")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
 def _q_window_salted(sf_dir):
     """Quantile-salted window path (hot threshold forced low so every
     user is 'hot') — must match the plain-window SQL oracle exactly."""
@@ -609,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_where": _q_window_where,
         "window_union": _q_window_union,
         "window_maxsize": _q_window_maxsize,
+        "window_distinct": _q_window_distinct,
         "window_salted": _q_window_salted,
         "window_ect": _q_window_ect,
         "window_open_preceding": _q_window_open_preceding,
@@ -729,6 +738,26 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                        AND CURRENT ROW)""",
+        "window_maxsize": """
+          SELECT e.event_id, e.user_id, e.ts,
+            (SELECT sum(value) FROM (
+               SELECT value FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+                 AND e2.ts >= e.ts - INTERVAL 4 HOUR
+               ORDER BY e2.ts DESC LIMIT 5)) AS s,
+            (SELECT count(*) FROM (
+               SELECT value FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+                 AND e2.ts >= e.ts - INTERVAL 4 HOUR
+               ORDER BY e2.ts DESC LIMIT 5)) AS n
+          FROM events e""",
+        "window_distinct": """
+          SELECT e.event_id, e.user_id, e.ts,
+            (SELECT count(DISTINCT value) FROM (
+               SELECT value FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+               ORDER BY e2.ts DESC LIMIT 11)) AS dc
+          FROM events e""",
         "window_ect": """
           SELECT event_id, user_id, ts, sum(value) OVER w AS s,
                  count(*) OVER w AS n

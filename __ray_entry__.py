@@ -551,6 +551,17 @@ def _q_window_distinct(sf_dir):
                       passthrough=["event_id", "user_id", "ts"])
 
 
+def _q_window_at(sf_dir):
+    """Frame-bounded at()/lag (OpenMLDB semantics: NULL once the offset
+    leaves the frame) — correlated LIMIT/OFFSET oracle."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=5)
+    return window_agg(ev, spec, [Agg("at", "value", "at2", k=2),
+                                 Agg("first_value", "value", "fv")],
+                      passthrough=["event_id", "user_id", "ts"])
+
+
 def _q_window_salted(sf_dir):
     """Quantile-salted window path (hot threshold forced low so every
     user is 'hot') — must match the plain-window SQL oracle exactly."""
@@ -618,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_union": _q_window_union,
         "window_maxsize": _q_window_maxsize,
         "window_distinct": _q_window_distinct,
+        "window_at": _q_window_at,
         "window_salted": _q_window_salted,
         "window_ect": _q_window_ect,
         "window_open_preceding": _q_window_open_preceding,
@@ -757,6 +769,15 @@ def oracle_sql() -> dict[str, str]:
                SELECT value FROM events e2
                WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
                ORDER BY e2.ts DESC LIMIT 11)) AS dc
+          FROM events e""",
+        "window_at": """
+          SELECT e.event_id, e.user_id, e.ts,
+            (SELECT value FROM (
+               SELECT value, ts FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+               ORDER BY e2.ts DESC LIMIT 6)
+             ORDER BY ts DESC LIMIT 1 OFFSET 2) AS at2,
+            value AS fv
           FROM events e""",
         "window_ect": """
           SELECT event_id, user_id, ts, sum(value) OVER w AS s,

@@ -8,14 +8,18 @@ nodes/WindowAggPlan.scala:53-191):
 1. prune to the needed columns (keys + order + aggregands + passthrough);
 2. tag WINDOW UNION secondaries (``__tag__=0``) and union them in
    (WindowAggPlanUtil.scala:41-92 requires schema equality);
-3. add a deterministic hash-bucket column over the partition keys —
-   ONE all-to-all shuffle (``groupby(bucket)`` under the HASH_SHUFFLE
-   strategy), bucket count chosen so a bucket fits a worker's heap at
-   the target scale;
-4. per bucket: stable sort by (keys, sort_cols, tag) — union rows sort
-   before primary rows at equal ts because the reference buffers union
-   rows before projecting the instance row (runner.cc:1521-1541) —
-   then run the vectorized kernel over each contiguous entity run;
+3. ONE all-to-all exchange: key-based ``repartition(num_buckets,
+   keys=partition_by)`` under the HASH_SHUFFLE strategy (each entity
+   lands in exactly one block — integrity stress-tested far past
+   target_max_block_size); on sort-shuffle nodes, fall back to a
+   deterministic hash-bucket column + ``groupby(bucket).map_groups``;
+   bucket count chosen so a bucket fits a worker's heap at the target
+   scale (context.default_num_buckets);
+4. per bucket/block: stable sort by (keys, sort_cols, tag) — union
+   rows sort before primary rows at equal ts because the reference
+   buffers union rows before projecting the instance row
+   (runner.cc:1521-1541) — then run the vectorized kernel over each
+   contiguous entity run;
 5. emit one output row per primary input row (rows with NULL/negative
    order keys dropped, WindowAggPlan.scala:783-791).
 

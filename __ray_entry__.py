@@ -180,30 +180,72 @@ def _q_last_join_orderby(sf_dir):
                      order_by="ts", payload=["value"])
 
 
+def _tpch_q1_derive(t: pa.Table) -> pa.Table:
+    """TPC-H Q1 inputs as exact integer cents: float sums reduce in
+    nondeterministic order across blocks, so the aggregation runs on
+    ints (order-independent, exact) and the floats are derived by one
+    deterministic int->double division at the end — bit-identical to
+    the DuckDB oracle computing the same expressions."""
+    t = t.filter(pc.less_equal(
+        t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+
+    def cents(col):
+        return pc.cast(pc.round(pc.multiply(t[col], pa.scalar(100.0))),
+                       pa.int64())
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    # disc_price in 1e-4 units; charge in 1e-6 units (exact int64)
+    disc_price_u = pc.multiply(price_c,
+                               pc.subtract(pa.scalar(100, pa.int64()),
+                                           disc_c))
+    charge_u = pc.multiply(disc_price_u,
+                           pc.add(pa.scalar(100, pa.int64()), tax_c))
+    return pa.table({
+        "l_returnflag": t["l_returnflag"],
+        "l_linestatus": t["l_linestatus"],
+        "qty_c": qty_c, "price_c": price_c, "disc_c": disc_c,
+        "disc_price_u": disc_price_u, "charge_u": charge_u,
+    })
+
+
+def _tpch_q1_finalize(t: pa.Table) -> pa.Table:
+    def dd(col, unit):
+        return pc.divide(pc.cast(t[col], pa.float64()),
+                         pa.scalar(float(unit)))
+    cnt = pc.cast(t["count_order"], pa.float64())
+    sum_qty = dd("sum_qty_c", 100.0)
+    sum_base = dd("sum_price_c", 100.0)
+    sum_disc_c = dd("sum_disc_c", 100.0)
+    return pa.table({
+        "l_returnflag": t["l_returnflag"],
+        "l_linestatus": t["l_linestatus"],
+        "sum_qty": sum_qty,
+        "sum_base_price": sum_base,
+        "sum_disc_price": dd("sum_disc_price_u", 1e4),
+        "sum_charge": dd("sum_charge_u", 1e6),
+        "avg_qty": pc.divide(sum_qty, cnt),
+        "avg_price": pc.divide(sum_base, cnt),
+        "avg_disc": pc.divide(sum_disc_c, cnt),
+        "count_order": t["count_order"],
+    })
+
+
 def _q_groupby_agg(sf_dir):
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
-
-    def derive(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(
-            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
-        disc = pc.multiply(t["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
-        return (t.append_column("disc_price", disc)
-                 .append_column("charge", charge))
-    li = li.map_batches(derive, batch_format="pyarrow")
-    return li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Sum("charge", alias_name="sum_charge"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_extendedprice", alias_name="avg_price"),
-        Mean("l_discount", alias_name="avg_disc"),
+    li = li.map_batches(_tpch_q1_derive, batch_format="pyarrow")
+    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="sum_qty_c"),
+        Sum("price_c", alias_name="sum_price_c"),
+        Sum("disc_c", alias_name="sum_disc_c"),
+        Sum("disc_price_u", alias_name="sum_disc_price_u"),
+        Sum("charge_u", alias_name="sum_charge_u"),
         Count(alias_name="count_order"))
+    return agg.map_batches(_tpch_q1_finalize, batch_format="pyarrow")
 
 
 def _q_groupby_agg_partial(sf_dir):
@@ -214,26 +256,16 @@ def _q_groupby_agg_partial(sf_dir):
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
-
-    def derive(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(
-            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
-        disc = pc.multiply(t["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
-        return (t.append_column("disc_price", disc)
-                 .append_column("charge", charge))
-    li = li.map_batches(derive, batch_format="pyarrow")
-    return grouped_aggregate(li, ["l_returnflag", "l_linestatus"], {
-        "sum_qty": ("sum", "l_quantity"),
-        "sum_base_price": ("sum", "l_extendedprice"),
-        "sum_disc_price": ("sum", "disc_price"),
-        "sum_charge": ("sum", "charge"),
-        "avg_qty": ("mean", "l_quantity"),
-        "avg_price": ("mean", "l_extendedprice"),
-        "avg_disc": ("mean", "l_discount"),
+    li = li.map_batches(_tpch_q1_derive, batch_format="pyarrow")
+    agg = grouped_aggregate(li, ["l_returnflag", "l_linestatus"], {
+        "sum_qty_c": ("sum", "qty_c"),
+        "sum_price_c": ("sum", "price_c"),
+        "sum_disc_c": ("sum", "disc_c"),
+        "sum_disc_price_u": ("sum", "disc_price_u"),
+        "sum_charge_u": ("sum", "charge_u"),
         "count_order": ("count", None),
     })
+    return agg.map_batches(_tpch_q1_finalize, batch_format="pyarrow")
 
 
 def _q_filter_project(sf_dir):
@@ -266,12 +298,8 @@ def _q_sort_limit(sf_dir):
 
 def _q_distinct(sf_dir):
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-
-    def head1(g):
-        return g.head(1)
-    head1.__name__ = "distinct_head"
-    return li.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        head1, batch_format="pandas")
+    from openmldb_ray.functions.aggregates import distinct
+    return distinct(li, ["l_returnflag", "l_linestatus"])
 
 
 def _q_left_join(sf_dir):
@@ -671,6 +699,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # --------------------------------------------------------------- oracles
 
+_TPCH_Q1_EXACT_SQL = """
+  WITH c AS (
+    SELECT l_returnflag, l_linestatus,
+      CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+      CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+  SELECT l_returnflag, l_linestatus,
+    sum(qty_c) / 100.0 AS sum_qty,
+    sum(price_c) / 100.0 AS sum_base_price,
+    sum(price_c * (100 - disc_c)) / 10000.0 AS sum_disc_price,
+    sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0
+      AS sum_charge,
+    (sum(qty_c) / 100.0) / count(*) AS avg_qty,
+    (sum(price_c) / 100.0) / count(*) AS avg_price,
+    (sum(disc_c) / 100.0) / count(*) AS avg_disc,
+    count(*) AS count_order
+  FROM c
+  GROUP BY l_returnflag, l_linestatus"""
+
 _CORPUS_CTE = """
 WITH corpus AS (
   SELECT source || '-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
@@ -856,34 +906,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase')
             WHERE rn = 1) r
           ON c_custkey = r.user_id""",
-        "groupby_agg_partial": """
-          SELECT l_returnflag, l_linestatus,
-            sum(l_quantity) AS sum_qty,
-            sum(l_extendedprice) AS sum_base_price,
-            sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-            sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-              AS sum_charge,
-            avg(l_quantity) AS avg_qty,
-            avg(l_extendedprice) AS avg_price,
-            avg(l_discount) AS avg_disc,
-            count(*) AS count_order
-          FROM lineitem
-          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-          GROUP BY l_returnflag, l_linestatus""",
-        "groupby_agg": """
-          SELECT l_returnflag, l_linestatus,
-            sum(l_quantity) AS sum_qty,
-            sum(l_extendedprice) AS sum_base_price,
-            sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-            sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-              AS sum_charge,
-            avg(l_quantity) AS avg_qty,
-            avg(l_extendedprice) AS avg_price,
-            avg(l_discount) AS avg_disc,
-            count(*) AS count_order
-          FROM lineitem
-          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-          GROUP BY l_returnflag, l_linestatus""",
+        # TPC-H Q1, computed over exact integer cents so the float
+        # outputs are order-independent and bit-identical to the Ray
+        # side (float sums reduce in nondeterministic order otherwise)
+        "groupby_agg_partial": _TPCH_Q1_EXACT_SQL,
+        "groupby_agg": _TPCH_Q1_EXACT_SQL,
         "filter_project": """
           SELECT l_orderkey, l_linenumber,
                  l_extendedprice * (1 - l_discount) AS revenue,

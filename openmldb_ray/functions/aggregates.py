@@ -84,3 +84,25 @@ def grouped_aggregate(
         return out
 
     return reduced.map_batches(finalize, batch_format="pandas")
+
+
+def distinct(ds: ray.data.Dataset,
+             keys: Sequence[str]) -> ray.data.Dataset:
+    """DISTINCT over ``keys``: per-batch local distinct (Arrow
+    group_by, the map-side combiner) shrinks the shuffle to unique
+    combos per block, then one groupby keeps the first per key."""
+    import pyarrow as pa
+
+    keys = list(keys)
+
+    def local(b: pa.Table) -> pa.Table:
+        return b.select(keys).group_by(keys).aggregate([])
+    local.__name__ = "local_distinct"
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+    first.__name__ = "distinct_first"
+
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    return pre.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        first, batch_format="pyarrow")

@@ -1,19 +1,25 @@
 """Deduplication at corpus scale: exact, MinHash+LSH, SimHash,
 n-gram Jaccard verification.
 
-Shapes (all shuffle-frugal):
+Shapes (all shuffle-frugal, no whole-dataset materialization anywhere):
 
 - exact: vectorized content hash per batch -> hash-partition groupby ->
   keep first per group (deterministic tie-break by id).
-- MinHash-LSH near-dup: shingle -> k minhashes per doc (one pass,
-  vectorized) -> band rows (band_id, band_hash, doc_id) -> groupby
-  bands -> candidate pairs -> exact n-gram Jaccard verify -> drop
-  docs marked duplicate of a smaller id. Band explode multiplies rows
-  by n_bands but each row is ~24 bytes — tiny next to the text we did
-  NOT shuffle.
+- MinHash-LSH near-dup: shingle -> k minhashes per doc (one vectorized
+  pass per batch) -> band rows (band_id, band_hash, doc_id) -> groupby
+  band-hash buckets -> candidate pairs (schema-stable Arrow output,
+  pair-bucket key emitted IN the same stage) -> groupby pair bucket ->
+  distinct pairs -> texts re-attached by TWO bucketed hash_joins (on
+  id_a, then id_b) -> exact n-gram Jaccard verify per batch. Band
+  explode multiplies rows by n_bands but each row is ~24 bytes — tiny
+  next to the text we did NOT shuffle; only *candidate* texts ever
+  move, and only pairwise.
 - SimHash: 64-bit signature; near-dup when Hamming distance <= t,
   bucketed by the 4-way table split (each 16-bit chunk) so candidates
   with distance<=3 collide in >=1 bucket.
+
+All per-word hashing is the vectorized batch FNV in
+``functions.hashing`` (no per-char Python on the hot path).
 """
 
 from __future__ import annotations
@@ -21,34 +27,16 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from openmldb_ray.context import pool_concurrency
+from openmldb_ray.functions.hashing import (shingle_hashes_batch,
+                                            simhash_batch,
+                                            word_hashes_batch)
 from openmldb_ray.ops.text import Fingerprint
 
 _M61 = np.uint64((1 << 61) - 1)
-
-
-def _word_hashes(text: str) -> np.ndarray:
-    """FNV-1a per whitespace token -> uint64 array."""
-    out = np.empty(len((text or "").split()), dtype=np.uint64)
-    for i, w in enumerate((text or "").split()):
-        h = 0xCBF29CE484222325
-        for b in w.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
-
-
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingle hashes (rolling combine of word hashes)."""
-    wh = _word_hashes(text)
-    if len(wh) < k:
-        return wh if len(wh) else np.array([0], dtype=np.uint64)
-    acc = wh[: len(wh) - k + 1].copy()
-    for j in range(1, k):
-        acc = (acc * np.uint64(1_000_003) + wh[j: len(wh) - k + 1 + j])
-    return acc
 
 
 def dedup_exact(ds: ray.data.Dataset, text_col: str = "text",
@@ -56,25 +44,28 @@ def dedup_exact(ds: ray.data.Dataset, text_col: str = "text",
                 concurrency: int | None = None) -> ray.data.Dataset:
     """Keep, per identical text, the row with the smallest id.
     hash -> groupby(hash) -> min-id row (one shuffle of slim rows)."""
-    hashed = ds.map_batches(Fingerprint, batch_format="pandas",
+    hashed = ds.map_batches(Fingerprint, batch_format="pyarrow",
                             batch_size=4096,
                             fn_constructor_args=(text_col,),
                             concurrency=concurrency or pool_concurrency())
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+    def first(g: pa.Table) -> pa.Table:
+        return g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+                      [:1])
     first.__name__ = "keep_first"
 
     return hashed.groupby("fingerprint").map_groups(
-        first, batch_format="pandas").drop_columns(["fingerprint"])
+        first, batch_format="pyarrow").drop_columns(["fingerprint"])
 
 
 class MinHasher:
     """k permutation-free minhashes via k independent linear hashes
-    over shingles (vectorized: k x n multiply-mod)."""
+    over shingles, vectorized across the whole batch (flat shingle
+    array + ``np.minimum.reduceat`` per doc). Emits one
+    (band_id, band_hash, id, bucket) row per doc per band."""
 
     def __init__(self, text_col: str, id_col: str, num_hashes: int,
-                 num_bands: int, shingle_k: int):
+                 num_bands: int, shingle_k: int, num_buckets: int = 64):
         assert num_hashes % num_bands == 0
         rng = np.random.default_rng(42)
         self.a = rng.integers(1, int(_M61) - 1, size=num_hashes,
@@ -83,39 +74,173 @@ class MinHasher:
                               dtype=np.uint64)
         self.text_col = text_col
         self.id_col = id_col
+        self.num_hashes = num_hashes
         self.num_bands = num_bands
         self.rows_per_band = num_hashes // num_bands
         self.shingle_k = shingle_k
+        self.num_buckets = num_buckets
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.shingle_k).astype(np.uint64)
-        # (k, n): (a*x + b) mod M61, min over shingles
-        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _M61
-        return prod.min(axis=1)
+    def signatures(self, texts) -> np.ndarray:
+        """(ndocs, num_hashes) minhash signatures, batch-vectorized."""
+        sh, off = shingle_hashes_batch(texts, self.shingle_k)
+        ndocs = len(off) - 1
+        sigs = np.empty((ndocs, self.num_hashes), dtype=np.uint64)
+        # chunk the hash dimension so (chunk, n_shingles) stays small
+        with np.errstate(over="ignore"):
+            for c0 in range(0, self.num_hashes, 16):
+                c1 = min(c0 + 16, self.num_hashes)
+                prod = (self.a[c0:c1, None] * sh[None, :]
+                        + self.b[c0:c1, None]) % _M61
+                sigs[:, c0:c1] = np.minimum.reduceat(
+                    prod, off[:-1], axis=1).T
+        return sigs
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Explode each doc into num_bands (band_id, band_hash, id) rows.
-        Band hashing is vectorized: (docs, bands, rows_per_band) folded
-        with a polynomial mix along the last axis."""
+    def __call__(self, batch: pa.Table) -> pa.Table:
         r = self.rows_per_band
-        sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
+        sigs = self.signatures(batch[self.text_col])
         chunks = sigs.reshape(len(sigs), self.num_bands, r)
         h = np.full(chunks.shape[:2], 0xCBF29CE484222325, dtype=np.uint64)
-        for j in range(r):
-            h = ((h ^ chunks[:, :, j]) * np.uint64(0x100000001B3))
-        ids = np.repeat(batch[self.id_col].to_numpy(), self.num_bands)
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                h = (h ^ chunks[:, :, j]) * np.uint64(0x100000001B3)
+        ids = batch[self.id_col].take(
+            pa.array(np.repeat(np.arange(batch.num_rows), self.num_bands)))
         bands = np.tile(np.arange(self.num_bands, dtype=np.int32),
                         len(sigs))
-        return pd.DataFrame({"band_id": bands,
-                             "band_hash": h.reshape(-1),
-                             self.id_col: ids})
+        bh = h.reshape(-1)
+        bucket = ((bh ^ (bands.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                  % np.uint64(self.num_buckets)).astype(np.int32)
+        return pa.table({"band_id": pa.array(bands),
+                         "band_hash": pa.array(bh),
+                         self.id_col: ids,
+                         "__bkt__": pa.array(bucket)})
 
 
-def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    sa, sb = set(a.tolist()), set(b.tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+def _pairs_from_groups(gkeys: np.ndarray, ids: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group ordered pairs (a<b) for groups >= 2, vectorized
+    group detection (sort + run boundaries); the per-group pair
+    expansion loops only over colliding groups (rare by design)."""
+    order = np.lexsort((ids, gkeys))
+    gk, sid = gkeys[order], ids[order]
+    bound = np.concatenate(([0], np.flatnonzero(gk[1:] != gk[:-1]) + 1,
+                            [len(gk)]))
+    out_a, out_b = [], []
+    for i in range(len(bound) - 1):
+        lo, hi = bound[i], bound[i + 1]
+        if hi - lo < 2:
+            continue
+        grp = np.unique(sid[lo:hi])
+        if len(grp) < 2:
+            continue
+        ia, ib = np.triu_indices(len(grp), k=1)
+        out_a.append(grp[ia])
+        out_b.append(grp[ib])
+    if out_a:
+        return np.concatenate(out_a), np.concatenate(out_b)
+    return (np.empty(0, dtype=ids.dtype), np.empty(0, dtype=ids.dtype))
+
+
+def _candidate_pairs(rows: ray.data.Dataset, id_col: str,
+                     group_cols: list[str],
+                     pair_buckets: int = 32) -> ray.data.Dataset:
+    """(group..., id) rows -> distinct (id_a, id_b) candidate pairs.
+
+    Stage 1 groups by the precomputed ``__bkt__`` and emits pairs WITH
+    their pair-bucket key in one schema-stable Arrow table (fixes the
+    round-1 ``__pbkt__`` empty-block schema bug); stage 2 groups by
+    pair bucket and dedups. Empty groups emit explicitly-typed empty
+    tables, so every block downstream carries the key column.
+    """
+
+    def pairs(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
+        ids_np = g[id_col].to_numpy(zero_copy_only=False)
+        # combine the group cols into one uint64 key (vectorized)
+        key = np.zeros(g.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in group_cols:
+                col = g[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+                key = key * np.uint64(0x100000001B3) + col
+        a, b = _pairs_from_groups(key, ids_np)
+        if len(a):
+            if a.dtype.kind in "OUS":  # string ids -> C-backed hash
+                ha = pd.util.hash_array(a, categorize=False)
+                hb = pd.util.hash_array(b, categorize=False)
+            else:
+                ha = a.astype(np.uint64)
+                hb = b.astype(np.uint64)
+            with np.errstate(over="ignore"):
+                pb = ((ha * np.uint64(0x9E3779B97F4A7C15) + hb)
+                      % np.uint64(pair_buckets)).astype(np.int32)
+        else:
+            pb = np.empty(0, dtype=np.int32)
+        return pa.table({
+            "id_a": pa.array(a).cast(id_type),
+            "id_b": pa.array(b).cast(id_type),
+            "__pbkt__": pa.array(pb, type=pa.int32()),
+        })
+    pairs.__name__ = "band_pairs"
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        g = g.select(["id_a", "id_b"])
+        return g.group_by(["id_a", "id_b"]).aggregate([])
+    distinct_pairs.__name__ = "distinct_pairs"
+
+    cand = rows.groupby("__bkt__").map_groups(pairs, batch_format="pyarrow")
+    return cand.groupby("__pbkt__").map_groups(distinct_pairs,
+                                               batch_format="pyarrow")
+
+
+def _attach_texts(cand: ray.data.Dataset, ds: ray.data.Dataset,
+                  text_col: str, id_col: str,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Join each candidate pair back to its two texts with two bucketed
+    hash_joins — the scale-safe replacement for a driver-side
+    {id: text} broadcast (only candidate texts move, pairwise)."""
+    from openmldb_ray.joins.hash_join import hash_join
+    slim = ds.select_columns([id_col, text_col])
+    sschema = slim.schema()
+    id_type = sschema.types[sschema.names.index(id_col)]
+    txt_type = sschema.types[sschema.names.index(text_col)]
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
+    sch = pa.schema(list(zip(sschema.names, sschema.types)))
+    j = hash_join(cand, slim, on="id_a", right_on=id_col,
+                  num_buckets=num_buckets,
+                  left_schema=pair_schema, right_schema=sch)
+    j = j.rename_columns({text_col: "__text_a__"})
+    j = hash_join(j, slim, on="id_b", right_on=id_col,
+                  num_buckets=num_buckets,
+                  left_schema=pair_schema.append(
+                      pa.field("__text_a__", txt_type)),
+                  right_schema=sch)
+    return j.rename_columns({text_col: "__text_b__"})
+
+
+class _JaccardVerify:
+    """Exact shingle-Jaccard per candidate pair; shingle sets computed
+    batch-vectorized for both text columns."""
+
+    def __init__(self, shingle_k: int, threshold: float):
+        self.k = shingle_k
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        jac = np.zeros(n, dtype=np.float64)
+        if n:
+            sa, offa = shingle_hashes_batch(b["__text_a__"], self.k)
+            sb, offb = shingle_hashes_batch(b["__text_b__"], self.k)
+            for i in range(n):
+                ua = np.unique(sa[offa[i]:offa[i + 1]])
+                ub = np.unique(sb[offb[i]:offb[i + 1]])
+                inter = len(np.intersect1d(ua, ub, assume_unique=True))
+                union = len(ua) + len(ub) - inter
+                jac[i] = inter / union if union else 1.0
+        out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                        "jaccard": pa.array(jac)})
+        return out.filter(pc.greater_equal(out["jaccard"],
+                                           self.threshold))
 
 
 def minhash_duplicate_pairs(
@@ -129,101 +254,62 @@ def minhash_duplicate_pairs(
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Candidate generation + exact-Jaccard verification; returns rows
-    (id_a, id_b, jaccard) with id_a < id_b, deduplicated.
-
-    Verification re-reads the two texts from a broadcast id->text map
-    when the corpus is small; at 100 TB the verify stage would instead
-    join texts back by id (documented trade-off).
-    """
-    import ray
-
+    (id_a, id_b, jaccard) with id_a < id_b, deduplicated."""
     bands = ds.map_batches(
-        MinHasher, batch_format="pandas", batch_size=1024,
+        MinHasher, batch_format="pyarrow", batch_size=1024,
         fn_constructor_args=(text_col, id_col, num_hashes, num_bands,
                              shingle_k),
         concurrency=concurrency or pool_concurrency())
-
-    # bucket the (band_id, band_hash) space so the shuffle has B
-    # groups, not one python fn call per distinct band hash; pair
-    # generation inside the bucket is a vectorized pandas groupby
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(b[["band_id", "band_hash"]],
-                                       index=False).to_numpy()
-        b["__bkt__"] = (h % np.uint64(64)).astype(np.int32)
-        return b
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
-                continue
-            ids = sorted(grp[id_col].unique().tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        df = pd.DataFrame({"id_a": out_a, "id_b": out_b})
-        return df.drop_duplicates()
-    pairs.__name__ = "band_pairs"
-
-    cand = bands.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("__bkt__").map_groups(pairs, batch_format="pandas")
-    # distinct candidate pairs (different bands can emit the same pair)
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"])
-    dedup_pairs.__name__ = "dedup_pairs"
-    cand = cand.map_batches(add_pair_bucket := (lambda b: b.assign(
-        __pbkt__=(pd.util.hash_pandas_object(b[["id_a", "id_b"]],
-                                             index=False).to_numpy()
-                  % np.uint64(32)).astype(np.int32))),
-        batch_format="pandas") \
-        .groupby("__pbkt__").map_groups(dedup_pairs, batch_format="pandas") \
-        .drop_columns(["__pbkt__"])
-
-    texts = {}
-    for tb in ds.select_columns([id_col, text_col]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 16):
-        texts.update(zip(tb[id_col].to_pylist(), tb[text_col].to_pylist()))
-    ref = ray.put(texts)
-    kk = shingle_k
-
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            jac = [
-                _jaccard(_shingles(self.texts[a], kk),
-                         _shingles(self.texts[c], kk))
-                for a, c in zip(b["id_a"], b["id_b"])]
-            b["jaccard"] = jac
-            return b[b["jaccard"] >= jaccard_threshold]
-
-    return cand.map_batches(Verify, batch_format="pandas", batch_size=4096,
-                            concurrency=concurrency or pool_concurrency())
+    cand = _candidate_pairs(bands, id_col, ["band_id", "band_hash"])
+    withtext = _attach_texts(cand, ds, text_col, id_col)
+    return withtext.map_batches(
+        _JaccardVerify, batch_format="pyarrow", batch_size=4096,
+        fn_constructor_args=(shingle_k, jaccard_threshold),
+        concurrency=concurrency or pool_concurrency())
 
 
 def dedup_minhash(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", **kw) -> ray.data.Dataset:
     """Drop near-duplicate docs, keeping the smallest id of each pair
-    cluster (greedy: any doc that is id_b of a confirmed pair drops)."""
-    import ray
-
+    cluster (greedy: any doc that is id_b of a confirmed pair drops).
+    The drop set never touches the driver — a distributed anti-join
+    on id_b."""
+    from openmldb_ray.joins.hash_join import hash_anti_join
     pairs = minhash_duplicate_pairs(ds, text_col, id_col, **kw)
-    drop = set()
-    for r in pairs.iter_rows():
-        drop.add(r["id_b"])
-    ref = ray.put(drop)
+    return hash_anti_join(ds, pairs.select_columns(["id_b"]),
+                          on=id_col, right_on="id_b")
 
-    class Keep:
-        def __init__(self):
-            self.drop = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b[~b[id_col].isin(self.drop)]
+class _AnchorRows:
+    """Each doc emits its ``band_sample`` smallest distinct shingle
+    hashes as anchors (documents sharing any anchor are candidates);
+    batch-vectorized via a per-doc sorted segment."""
 
-    return ds.map_batches(Keep, batch_format="pandas", batch_size=4096,
-                          concurrency=pool_concurrency())
+    def __init__(self, text_col: str, id_col: str, shingle_k: int,
+                 band_sample: int, num_buckets: int = 64):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = shingle_k
+        self.band_sample = band_sample
+        self.num_buckets = num_buckets
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        sh, off = shingle_hashes_batch(b[self.text_col], self.k)
+        take_idx, take_doc = [], []
+        for i in range(b.num_rows):
+            u = np.unique(sh[off[i]:off[i + 1]])
+            t = u[: self.band_sample]
+            take_idx.append(t)
+            take_doc.append(np.full(len(t), i, dtype=np.int64))
+        anchors = (np.concatenate(take_idx) if take_idx
+                   else np.empty(0, dtype=np.uint64))
+        docs = (np.concatenate(take_doc) if take_doc
+                else np.empty(0, dtype=np.int64))
+        ids = b[self.id_col].take(pa.array(docs))
+        bucket = (anchors % np.uint64(self.num_buckets)).astype(np.int32)
+        return pa.table({self.id_col: ids,
+                         "anchor": pa.array(anchors),
+                         "__bkt__": pa.array(bucket)})
 
 
 def ngram_jaccard_pairs(
@@ -236,106 +322,97 @@ def ngram_jaccard_pairs(
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """n-gram (word-shingle) Jaccard near-dup pairs WITHOUT minhash
-    approximation in the verify step: candidates come from exact
-    shingle-anchor collisions (each doc emits its ``band_sample``
-    smallest shingle hashes — documents sharing any anchor are
-    candidates; J >= t implies anchor collision with high probability),
-    then exact Jaccard filters.
-
-    Same output schema as minhash_duplicate_pairs."""
-    import ray
-
-    def anchors(b: pd.DataFrame) -> pd.DataFrame:
-        ids, hs = [], []
-        for i, t in zip(b[id_col], b[text_col]):
-            sh = np.unique(_shingles(t, shingle_k))
-            take = np.sort(sh)[:band_sample]
-            ids.extend([i] * len(take))
-            hs.extend(take.tolist())
-        return pd.DataFrame({id_col: ids,
-                             "anchor": np.array(hs, dtype=np.uint64)})
-
-    anc = ds.map_batches(anchors, batch_format="pandas", batch_size=1024)
-
-    def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b["__bkt__"] = (b["anchor"].to_numpy() % np.uint64(64)) \
-            .astype(np.int32)
-        return b
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby("anchor", sort=False):
-            ids = sorted(grp[id_col].unique().tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a,
-                             "id_b": out_b}).drop_duplicates()
-    pairs.__name__ = "anchor_pairs"
-
-    # pairs() already projects to (id_a, id_b) — no __bkt__ survives
-    cand = anc.map_batches(bucket, batch_format="pandas") \
-        .groupby("__bkt__").map_groups(pairs, batch_format="pandas")
-
-    texts = {}
-    for tb in ds.select_columns([id_col, text_col]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 16):
-        texts.update(zip(tb[id_col].to_pylist(), tb[text_col].to_pylist()))
-    ref = ray.put(texts)
-    kk = shingle_k
-
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            if len(b) == 0:
-                b["jaccard"] = []
-                return b
-            jac = [_jaccard(_shingles(self.texts[a], kk),
-                            _shingles(self.texts[c], kk))
-                   for a, c in zip(b["id_a"], b["id_b"])]
-            b = b.copy()
-            b["jaccard"] = jac
-            return b[b["jaccard"] >= threshold].drop_duplicates(
-                subset=["id_a", "id_b"])
-
-    from openmldb_ray.context import pool_concurrency as _pc
-    return cand.map_batches(Verify, batch_format="pandas", batch_size=4096,
-                            concurrency=concurrency or _pc())
+    approximation in the verify step: candidates from exact
+    shingle-anchor collisions, then exact Jaccard filters. Same output
+    schema as minhash_duplicate_pairs."""
+    anc = ds.map_batches(
+        _AnchorRows, batch_format="pyarrow", batch_size=1024,
+        fn_constructor_args=(text_col, id_col, shingle_k, band_sample),
+        concurrency=concurrency or pool_concurrency())
+    cand = _candidate_pairs(anc, id_col, ["anchor"])
+    withtext = _attach_texts(cand, ds, text_col, id_col)
+    return withtext.map_batches(
+        _JaccardVerify, batch_format="pyarrow", batch_size=4096,
+        fn_constructor_args=(shingle_k, threshold),
+        concurrency=concurrency or pool_concurrency())
 
 
 class SimHash:
-    """64-bit SimHash over word hashes; near-dup = small Hamming
-    distance. Emits signature + 4x16-bit sub-keys for bucketing."""
+    """64-bit SimHash over word hashes (batch-vectorized bit votes);
+    near-dup = small Hamming distance. Emits signature + 4x16-bit
+    sub-keys for bucketing."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
-    def _sig(self, text: str) -> int:
-        wh = _word_hashes(text)
-        if len(wh) == 0:
-            return 0
-        bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for k in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(k)
-        return int(sig)
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        sigs = b[self.text_col].map(self._sig).astype("uint64")
-        b["simhash"] = sigs
+    def __call__(self, b: pa.Table) -> pa.Table:
+        sigs = simhash_batch(b[self.text_col])
+        cols = {c: b[c] for c in b.column_names}
+        cols["simhash"] = pa.array(sigs)
         for i in range(4):
-            b[f"simhash_b{i}"] = ((sigs.values >> np.uint64(16 * i))
-                                  & np.uint64(0xFFFF)).astype("int64")
-        return b
+            cols[f"simhash_b{i}"] = pa.array(
+                ((sigs >> np.uint64(16 * i)) & np.uint64(0xFFFF))
+                .astype(np.int64))
+        return pa.table(cols)
 
 
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        concurrency: int | None = None) -> ray.data.Dataset:
-    return ds.map_batches(SimHash, batch_format="pandas",
+    return ds.map_batches(SimHash, batch_format="pyarrow",
                           batch_size=4096, fn_constructor_args=(text_col,),
                           concurrency=concurrency or pool_concurrency())
+
+
+def simhash_duplicate_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``
+    (<= 3 guarantees a collision in one of the 4 16-bit sub-keys —
+    the classic table-split guarantee). Candidates collide on any
+    sub-key; verify computes the exact Hamming distance from the two
+    signatures carried with the pair (no text re-join needed)."""
+    sigs = simhash_signatures(ds.select_columns([id_col, text_col]),
+                              text_col, concurrency)
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        idx = np.repeat(np.arange(n), 4)
+        table_id = np.tile(np.arange(4, dtype=np.int64), n)
+        sub = np.empty(4 * n, dtype=np.int64)
+        sig = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for i in range(4):
+            sub[i::4] = ((sig >> np.uint64(16 * i))
+                         & np.uint64(0xFFFF)).astype(np.int64)
+        key = table_id * 65536 + sub
+        bucket = (key % 64).astype(np.int32)
+        return pa.table({
+            id_col: b[id_col].take(pa.array(idx)),
+            "subkey": pa.array(key),
+            "__bkt__": pa.array(bucket),
+        })
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow")
+    cand = _candidate_pairs(rows, id_col, ["subkey"])
+
+    # re-attach signatures (slim join: 8 bytes per side)
+    from openmldb_ray.joins.hash_join import hash_join
+    slim = sigs.select_columns([id_col, "simhash"])
+    j = hash_join(cand, slim, on="id_a", right_on=id_col)
+    j = j.rename_columns({"simhash": "__sig_a__"})
+    j = hash_join(j, slim, on="id_b", right_on=id_col)
+    j = j.rename_columns({"simhash": "__sig_b__"})
+
+    def verify(b: pa.Table) -> pa.Table:
+        a = b["__sig_a__"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b["__sig_b__"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = (a ^ c)
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                        "hamming": pa.array(ham.astype(np.int64))})
+        return out.filter(pc.less_equal(out["hamming"], max_hamming))
+
+    return j.map_batches(verify, batch_format="pyarrow")

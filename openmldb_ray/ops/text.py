@@ -97,34 +97,23 @@ class LangId:
 
 
 class Fingerprint:
-    """64-bit rolling-hash document fingerprint (polynomial over
-    whitespace tokens) — stable across runs/processes; the key for
-    exact dedup."""
-
-    MOD = np.uint64((1 << 61) - 1)
-    BASE = np.uint64(1_000_003)
+    """64-bit rolling-hash document fingerprint (polynomial fold of the
+    per-word FNV hashes, ``functions.hashing.doc_fingerprints``) —
+    stable across runs/processes/nodes; the key for exact dedup.
+    Batch-vectorized (one Arrow split + numpy segment reduction per
+    batch, no per-char Python). Accepts Arrow or pandas batches."""
 
     def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
         self.text_col = text_col
         self.out_col = out_col
 
-    @staticmethod
-    def _h(word: str) -> int:
-        h = 0xCBF29CE484222325
-        for b in word.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    def _fp(self, text: str) -> int:
-        acc = np.uint64(0)
-        for w in (text or "").split():
-            acc = np.uint64(
-                (int(acc) * int(self.BASE) + self._h(w)) % int(self.MOD))
-        return int(acc)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch[self.out_col] = batch[self.text_col].map(self._fp).astype(
-            "uint64")
+    def __call__(self, batch):
+        from openmldb_ray.functions.hashing import doc_fingerprints
+        if isinstance(batch, pa.Table):
+            fp = doc_fingerprints(batch[self.text_col])
+            return batch.append_column(self.out_col, pa.array(fp))
+        fp = doc_fingerprints(batch[self.text_col].tolist())
+        batch[self.out_col] = fp
         return batch
 
 

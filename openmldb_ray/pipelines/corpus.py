@@ -30,51 +30,36 @@ from openmldb_ray.joins import last_join
 from openmldb_ray.window import Agg, WindowSpec, window_agg
 
 VOCAB = 50257
-_FNV_OFF = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-
-
-def _fnv1a(word: str) -> int:
-    h = _FNV_OFF
-    for b in word.encode("utf-8"):
-        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
 
 
 class Tokenize:
-    """Actor-pool stage: deterministic whitespace tokenization.
+    """Actor-pool stage: deterministic whitespace tokenization,
+    batch-vectorized (one Arrow split + flat FNV pass per batch —
+    ``functions.hashing``; token ids are unchanged from the scalar
+    FNV definition: fnv1a(word) % VOCAB).
 
-    Stateful so the (tiny) token-id memo cache amortizes across
-    batches; at real scale this is where a BPE model would be loaded
-    once per actor.
+    Kept as a class so at real scale this is where a BPE model would
+    be loaded once per actor.
     """
 
-    def __init__(self):
-        self.memo: dict[str, int] = {}
-
-    def _tok(self, w: str) -> int:
-        t = self.memo.get(w)
-        if t is None:
-            t = _fnv1a(w) % VOCAB
-            if len(self.memo) < 1_000_000:
-                self.memo[w] = t
-        return t
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        srcs = batch["source"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        toks, ntoks, doc_ids = [], [], []
-        for t, s, i in zip(texts, srcs, ids):
-            words = (t or "").split()
-            toks.append([self._tok(w) for w in words])
-            ntoks.append(len(words))
-            doc_ids.append(f"{s}-{int(i):08d}")
+        import pyarrow.compute as pc
+
+        from openmldb_ray.functions.hashing import word_hashes_batch
+        wh, off = word_hashes_batch(batch["text"])
+        toks = (wh % np.uint64(VOCAB)).astype(np.int32)
+        tokens = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32)), pa.array(toks))
+        ntok = (off[1:] - off[:-1]).astype(np.int32)
+        doc_ids = pc.binary_join_element_wise(
+            batch["source"].combine_chunks().cast(pa.string()),
+            pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 8, "0"),
+            "-")
         return pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.string()),
-            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
-            "n_tok": pa.array(ntoks, type=pa.int32()),
-            "source": pa.array(srcs, type=pa.string()),
+            "doc_id": doc_ids,
+            "tokens": tokens,
+            "n_tok": pa.array(ntok),
+            "source": batch["source"],
         })
 
 

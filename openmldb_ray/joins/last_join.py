@@ -8,7 +8,11 @@ java/openmldb-batch nodes/JoinPlan.scala:39-202):
 - without ORDER BY: the first matching right row in right-table order;
 - with ORDER BY ts: the match with max ts (asc) / min ts (desc);
 - optional point-in-time condition ``right.ts <= left.ts`` (the as-of
-  constraint — zero temporal leakage);
+  constraint — zero temporal leakage); under ``descending`` the LAST
+  qualifying row in descending order is the MIN qualifying ts;
+- optional extra non-equi ``condition`` predicate (the reference runs
+  these as a JIT row UDF, nodes/JoinPlan.scala:108-143) — here a
+  vectorized callable over candidate (left, right) row pairs;
 - unmatched left rows keep right-side NULLs.
 
 Two execution paths:
@@ -19,12 +23,13 @@ Two execution paths:
   side never shuffles. This is the 100 TB-friendly path for dimension
   tables.
 - **shuffle**: tag + union both sides, hash-``groupby`` on the join
-  key, per-group sorted as-of merge — for large right sides.
+  key, then the SAME vectorized index kernel per bucket (Arrow-native;
+  no pandas blocks) — for large right sides.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd
@@ -34,39 +39,38 @@ import ray.data
 
 from openmldb_ray.io import hash_columns
 
+# condition(left_cols, right_cols) -> bool mask over candidate pairs;
+# both dicts hold numpy arrays aligned pairwise
+Condition = Callable[[dict, dict], np.ndarray]
 
-def _normalize(on, right_on):
-    on = [on] if isinstance(on, str) else list(on)
-    right_on = on if right_on is None else (
-        [right_on] if isinstance(right_on, str) else list(right_on))
-    return on, right_on
+
+def _keys_np(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    if len(cols) == 1:
+        return tbl[cols[0]].to_numpy(zero_copy_only=False)
+    # composite key -> single string key (rare path; all engine call
+    # sites use single-column joins)
+    return tbl.select(cols).to_pandas().astype(str) \
+        .agg("\x1f".join, axis=1).to_numpy()
 
 
 class _RightIndex:
-    """Driver-built broadcast index: contiguous per-key slices over
-    globally (key, ts)-sorted arrays — fully vectorized construction
-    (numpy lexsort; no Python row loops) so a multi-million-row right
-    side builds in well under a second."""
+    """Broadcast/bucket index: contiguous per-key slices over globally
+    (key, ts)-sorted arrays — fully vectorized construction (numpy
+    lexsort; no Python row loops) so a multi-million-row right side
+    builds in well under a second."""
 
     def __init__(self, rt: pa.Table, right_on: list[str], order_by: str | None,
                  descending: bool, payload: list[str]):
-        df = rt.to_pandas()
-        n = len(df)
+        n = rt.num_rows
         self.order_by = order_by
         self.descending = descending
         self.payload = payload
-        if len(right_on) == 1:
-            keys = df[right_on[0]].to_numpy()
-        else:
-            # composite key -> single string key (rare path; all engine
-            # call sites use single-column joins)
-            keys = df[right_on].astype(str).agg("\x1f".join, axis=1) \
-                .to_numpy()
+        keys = _keys_np(rt, right_on)
         # stable sort by (key, ts ascending); ties keep right-table
         # order; asof picks the LAST qualifying row -> max-ts
         # (runner.cc:1957-1966)
         if order_by is not None:
-            ts = df[order_by].to_numpy()
+            ts = rt[order_by].to_numpy(zero_copy_only=False)
             order = np.lexsort((np.arange(n), ts, keys)) if n else \
                 np.empty(0, dtype=np.int64)
         else:
@@ -75,7 +79,11 @@ class _RightIndex:
                 np.empty(0, dtype=np.int64)
         keys_s = keys[order]
         self.ts = ts[order] if ts is not None else None
-        self.rows = {c: df[c].to_numpy()[order] for c in payload}
+        self.rows = {c: rt[c].to_numpy(zero_copy_only=False)[order]
+                     for c in payload}
+        self.key_rows = {k: rt[k].to_numpy(zero_copy_only=False)[order]
+                         for k in right_on} \
+            if any(k not in payload for k in right_on) else {}
         bounds = np.flatnonzero(keys_s[1:] != keys_s[:-1]) + 1 if n else \
             np.empty(0, dtype=np.int64)
         # array-form index (sorted uniq + slice bounds): ships through
@@ -95,39 +103,115 @@ class _RightIndex:
                    if len(self.uniq) else np.zeros(len(keys), bool))
         return self.starts[pos_c], self.ends[pos_c], matched
 
+    def right_col(self, c: str) -> np.ndarray:
+        if c in self.rows:
+            return self.rows[c]
+        return self.key_rows[c]
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def _select_with_condition(batch: pa.Table, idx: "_RightIndex",
+                           lo: np.ndarray, end: np.ndarray,
+                           descending: bool,
+                           condition: Condition) -> np.ndarray:
+    """Expand candidate slices, evaluate the predicate vectorized over
+    every (left, right) candidate pair, keep the LAST passing row per
+    left row (respecting the order direction)."""
+    counts = np.maximum(end - lo, 0)
+    left_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    right_pos = np.repeat(lo, counts) + _ragged_arange(counts)
+    lcols = {c: batch[c].to_numpy(zero_copy_only=False)[left_idx]
+             for c in batch.column_names}
+    rcols = {c: idx.right_col(c)[right_pos]
+             for c in (set(idx.rows) | set(idx.key_rows))}
+    if idx.ts is not None:
+        rcols[idx.order_by] = idx.ts[right_pos]
+    ok = np.asarray(condition(lcols, rcols), dtype=bool)
+    sel = np.full(len(counts), -1, dtype=np.int64)
+    if ok.any():
+        # last passing candidate per left row: max right_pos for asc
+        # (slices are ts-ascending), min for desc
+        score = np.where(ok, right_pos, -1)
+        nonzero = counts > 0
+        if descending:
+            big = np.iinfo(np.int64).max
+            score = np.where(ok, right_pos, big)
+            mins = np.minimum.reduceat(score, np.cumsum(counts)[nonzero]
+                                       - counts[nonzero])
+            sel[nonzero] = np.where(mins == big, -1, mins)
+        else:
+            maxs = np.maximum.reduceat(score, np.cumsum(counts)[nonzero]
+                                       - counts[nonzero])
+            sel[nonzero] = maxs
+    return sel
+
 
 def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
                           on: list[str], left_ts: str | None,
-                          suffix: str) -> pa.Table:
-    """As-of lookup of one left batch against the broadcast index —
-    fully vectorized (searchsorted key lookup + per-unique-key
-    searchsorted as-of)."""
+                          suffix: str,
+                          condition: Condition | None = None) -> pa.Table:
+    """As-of lookup of one left batch against the index — fully
+    vectorized (searchsorted key lookup + per-unique-key searchsorted
+    as-of; optional predicate over expanded candidates)."""
     n = batch.num_rows
-    if len(on) == 1:
-        keys = batch[on[0]].to_numpy(zero_copy_only=False)
-    else:
-        keys = batch.select(on).to_pandas().astype(str) \
-            .agg("\x1f".join, axis=1).to_numpy()
+    if len(idx.uniq) == 0:  # empty right side -> all-null payload
+        names = list(batch.column_names)
+        cols = list(batch.columns)
+        for c in idx.payload:
+            out_name = c + suffix if c in batch.column_names else c
+            names.append(out_name)
+            try:
+                t = pa.from_numpy_dtype(idx.rows[c].dtype)
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()
+            cols.append(pa.nulls(n, t))
+        return pa.table(cols, names=names)
+    keys = _keys_np(batch, on)
     lo, hi, matched = idx.locate(keys)
-    sel = np.full(n, -1, dtype=np.int64)
+    lo = np.where(matched, lo, 0)
+    hi = np.where(matched, hi, 0)
+
+    # upper bound of the qualifying slice (exclusive)
     if idx.ts is not None and left_ts is not None:
+        end = np.zeros(n, dtype=np.int64)
         lts = batch[left_ts].to_numpy(zero_copy_only=False)
         m = np.flatnonzero(matched)
         if len(m):
-            # last right row with ts <= left ts, within the key's slice
             codes, uniques = pd.factorize(pd.Series(keys[m]), sort=False)
             for gi in range(len(uniques)):
                 rows = m[codes == gi]
                 glo, ghi = int(lo[rows[0]]), int(hi[rows[0]])
                 pos = np.searchsorted(idx.ts[glo:ghi], lts[rows],
-                                      side="right") - 1
-                ok = pos >= 0
-                sel[rows[ok]] = glo + pos[ok]
-    elif idx.ts is not None:
-        pick = lo if idx.descending else hi - 1  # max-ts asc / min-ts desc
-        sel[matched] = pick[matched]
+                                      side="right")
+                end[rows] = glo + pos
     else:
-        sel[matched] = lo[matched]  # first right row in storage order
+        end = hi
+
+    if condition is not None:
+        sel = _select_with_condition(batch, idx, lo, end,
+                                     idx.descending, condition)
+    else:
+        sel = np.full(n, -1, dtype=np.int64)
+        has = end > lo
+        if idx.ts is not None and left_ts is not None:
+            # LAST qualifying under asc order = max ts <= left ts;
+            # under desc order = MIN qualifying ts (runner.cc iterates
+            # the ordered table and keeps the final match)
+            pick = lo if idx.descending else end - 1
+            sel[has] = pick[has]
+        elif idx.ts is not None:
+            pick = lo if idx.descending else end - 1
+            sel[has] = pick[has]
+        else:
+            sel[has] = lo[has]  # first right row in storage order
+
     hit = sel >= 0
     names = list(batch.column_names)
     cols = list(batch.columns)
@@ -144,6 +228,13 @@ def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
     return pa.table(cols, names=names)
 
 
+def _normalize(on, right_on):
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    return on, right_on
+
+
 def last_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -158,6 +249,7 @@ def last_join(
     broadcast: bool = True,
     num_buckets: int = 64,
     concurrency: int | None = None,
+    condition: Condition | None = None,
 ) -> ray.data.Dataset:
     """LAST JOIN ``left`` with ``right`` on equi-key ``on``.
 
@@ -165,8 +257,13 @@ def last_join(
       ``descending``) among matches.
     - ``left_ts``: when set (requires ``order_by``), adds the
       point-in-time condition ``right.order_by <= left.left_ts`` and
-      picks the latest qualifying right row — the as-of join.
+      picks the latest (asc) / earliest (desc) qualifying right row —
+      the as-of join.
     - ``payload``: right columns to carry (default: all minus keys).
+    - ``condition``: extra non-equi predicate
+      ``fn(left_cols, right_cols) -> bool mask`` evaluated vectorized
+      over candidate pairs (dicts of aligned numpy arrays); the last
+      passing candidate wins, preserving LAST JOIN order semantics.
     """
     on, right_on = _normalize(on, right_on)
     if payload is None:
@@ -184,12 +281,13 @@ def last_join(
         # array-form index is zero-copy from the local object store
         def join_fn(batch: pa.Table) -> pa.Table:
             return _broadcast_join_batch(batch, ray.get(ref), on, left_ts,
-                                         suffix)
+                                         suffix, condition)
 
         return left.map_batches(join_fn, batch_format="pyarrow",
                                 batch_size=32768)
     return _shuffle_last_join(left, right, on, right_on, order_by, descending,
-                              left_ts, payload, suffix, num_buckets)
+                              left_ts, payload, suffix, num_buckets,
+                              condition)
 
 
 def _collect(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
@@ -203,64 +301,77 @@ def _collect(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
 # ------------------------------------------------------------- shuffle path
 
 _SIDE = "__side__"
+_BUCKET = "__bucket__"
 
 
 def _shuffle_last_join(left, right, on, right_on, order_by, descending,
-                       left_ts, payload, suffix, num_buckets):
-    """Hash-bucket both sides on the join key, then per-bucket
-    pandas merge picking the last qualifying right row per left row."""
-    lcols = left.schema().names
+                       left_ts, payload, suffix, num_buckets, condition):
+    """Hash-bucket both sides on the join key, then run the SAME
+    vectorized index kernel per bucket (Arrow blocks end to end).
+    Right rows ride in the left key columns + appended right-only
+    columns, null-padded so the union is schema-aligned."""
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rschema = right.schema()
+    rtypes = dict(zip(rschema.names, rschema.types))
+    rneed = list(dict.fromkeys(right_on + ([order_by] if order_by else [])
+                               + payload))
+    # right-only columns appended after the left schema, prefixed to
+    # dodge collisions inside the shuffle
+    rext = [c for c in rneed if c not in right_on]
+    rext_named = {c: f"__r_{c}__" for c in rext}
 
     def tag_left(b: pa.Table) -> pa.Table:
         h = hash_columns(b, on, num_buckets)
-        return b.append_column("__bucket__", pa.array(h)).append_column(
+        cols = {c: b[c] for c in lcols}
+        for c in rext:
+            cols[rext_named[c]] = pa.nulls(b.num_rows, rtypes[c])
+        t = pa.table(cols)
+        return t.append_column(_BUCKET, pa.array(h)).append_column(
             _SIDE, pa.array(np.ones(b.num_rows, dtype=np.int8)))
-
-    rneed = list(dict.fromkeys(right_on + ([order_by] if order_by else [])
-                               + payload))
+    tag_left.__name__ = "lj_tag_left"
 
     def tag_right(b: pa.Table) -> pa.Table:
         b = b.select(rneed)
-        # align schema: right rows carry only their columns; left columns null
         h = hash_columns(b, right_on, num_buckets)
-        return b.append_column("__bucket__", pa.array(h)).append_column(
+        cols = {}
+        for c in lcols:
+            cols[c] = pa.nulls(b.num_rows, ltypes[c])
+        for lk, rk in zip(on, right_on):
+            col = b[rk]
+            if col.type != ltypes[lk]:
+                col = col.cast(ltypes[lk])
+            cols[lk] = col
+        for c in rext:
+            cols[rext_named[c]] = b[c]
+        t = pa.table(cols)
+        return t.append_column(_BUCKET, pa.array(h)).append_column(
             _SIDE, pa.array(np.zeros(b.num_rows, dtype=np.int8)))
+    tag_right.__name__ = "lj_tag_right"
 
     class BucketJoin:
         __name__ = "bucket_last_join"
 
-        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-            lg = g[g[_SIDE] == 1]
-            rg = g[g[_SIDE] == 0]
-            lg = lg[[c for c in lcols]]
-            out = lg.copy()
-            rcols = {c: (c + suffix if c in lcols else c) for c in payload}
-            if len(rg) == 0:
-                for c in payload:
-                    out[rcols[c]] = None
-                return out
-            rg = rg[rneed]
-            if order_by is not None:
-                rg = rg.sort_values(order_by, kind="stable",
-                                    ascending=not descending)
-            if left_ts is not None and order_by is not None:
-                idx = _RightIndex(pa.Table.from_pandas(rg), right_on,
-                                  order_by, descending, payload)
-                return _broadcast_join_batch(
-                    pa.Table.from_pandas(lg), idx, on, left_ts,
-                    suffix).to_pandas()
-            # keep the last (max-ts) or first (storage order) match per key
-            keep = rg.groupby(right_on, sort=False).tail(1) if order_by \
-                else rg.groupby(right_on, sort=False).head(1)
-            ren = {c: (c + suffix if c in lcols else c) for c in keep.columns}
-            keep = keep.rename(columns=ren)
-            rkeys = [ren[r] for r in right_on]
-            merged = out.merge(keep, left_on=on, right_on=rkeys, how="left")
-            want = list(lcols) + [rcols[c] for c in payload]
-            return merged[[c for c in want]]
+        def __call__(self, g: pa.Table) -> pa.Table:
+            side = g[_SIDE].to_numpy(zero_copy_only=False)
+            lt = g.filter(pa.array(side == 1)).select(lcols)
+            rt_raw = g.filter(pa.array(side == 0))
+            # reassemble the right table under its own column names
+            rcols = {}
+            for lk, rk in zip(on, right_on):
+                col = rt_raw[lk]
+                if col.type != rtypes.get(rk, col.type):
+                    col = col.cast(rtypes[rk])
+                rcols[rk] = col
+            for c in rext:
+                rcols[c] = rt_raw[rext_named[c]]
+            rt = pa.table(rcols) if rcols else rt_raw.select([])
+            idx = _RightIndex(rt, right_on, order_by, descending, payload)
+            return _broadcast_join_batch(lt, idx, on, left_ts, suffix,
+                                         condition)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
-    # BucketJoin already projects away __bucket__/__side__
-    return tagged.groupby("__bucket__").map_groups(BucketJoin(),
-                                                   batch_format="pandas")
+    return tagged.groupby(_BUCKET).map_groups(BucketJoin(),
+                                              batch_format="pyarrow")

@@ -80,15 +80,17 @@ def knn_bruteforce(
     partial = ds.map_batches(score, batch_format="pyarrow",
                              batch_size=8192)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine_sim", "vec_id"],
-                          ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def topk(g: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            g, sort_keys=[("cosine_sim", "descending"),
+                          ("vec_id", "ascending")])
+        g = g.take(order[:k])
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
     topk.__name__ = "global_topk"
 
-    return partial.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(topk,
+                                                  batch_format="pyarrow")
 
 
 class _LshTag:
@@ -202,26 +204,30 @@ def embedding_dup_pairs(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=8192)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        id_type = g.schema.field(id_col).type
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "cosine_sim": []})
-        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+            return pa.table({"id_a": pa.array([], type=id_type),
+                             "id_b": pa.array([], type=id_type),
+                             "cosine_sim": pa.array([], type=pa.float64())})
+        m = _normalize(_emb_matrix(g, emb_col))
         sims = m @ m.T
-        ids = g[id_col].to_numpy()
+        ids = g[id_col].to_numpy(zero_copy_only=False)
         iu, ju = np.triu_indices(n, k=1)
         keep = sims[iu, ju] >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        return pd.DataFrame({"id_a": a2, "id_b": b2,
-                             "cosine_sim": sims[iu[keep], ju[keep]]})
+        return pa.table({"id_a": pa.array(a2).cast(id_type),
+                         "id_b": pa.array(b2).cast(id_type),
+                         "cosine_sim": pa.array(sims[iu[keep], ju[keep]],
+                                                type=pa.float64())})
     bucket_pairs.__name__ = "bucket_cosine_pairs"
 
     return tagged.groupby("lsh_bucket").map_groups(bucket_pairs,
-                                                   batch_format="pandas")
+                                                   batch_format="pyarrow")
 
 
 def knn_lsh(

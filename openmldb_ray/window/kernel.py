@@ -183,15 +183,23 @@ def eval_aggs(
     # cache prefix structures per (col, where) pair
     pref_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
+    def notnull(v: np.ndarray) -> np.ndarray:
+        # works for float (NaN) AND object (None) columns
+        if v.dtype == object:
+            import pandas as pd
+            return ~pd.isna(v)
+        return ~np.isnan(v)
+
     def prefixes(col: str, where: str | None):
         key = (col, where)
         if key not in pref_cache:
             v = values[col]
-            ok = ~np.isnan(v)
+            ok = notnull(v)
             if where is not None:
                 ok = ok & values[where].astype(bool)
-            filled = np.where(ok, v, 0.0)
-            psum = np.concatenate(([0.0], np.cumsum(filled)))
+            filled = np.where(ok, v, 0.0) if v.dtype != object else None
+            psum = (np.concatenate(([0.0], np.cumsum(filled)))
+                    if filled is not None else None)
             pcnt = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
             pref_cache[key] = (psum, pcnt)
         return pref_cache[key]
@@ -200,7 +208,15 @@ def eval_aggs(
         v = values[col]
         if where is None:
             return v
+        if v.dtype == object:
+            return np.where(values[where].astype(bool), v, None)
         return np.where(values[where].astype(bool), v, np.nan)
+
+    def where_items(col: str, where: str | None, i) -> list:
+        """Non-null (+ where-passing) frame values of row i (generic
+        slow path — strings and numerics)."""
+        v = masked_vals(col, where)
+        return _frame_items(v, start, hist_end, self_in, i)
 
     for a in aggs:
         f = a.func
@@ -211,19 +227,28 @@ def eval_aggs(
             # count(*): frame row count
             cnt = (hist_end - start) + self_in.astype(np.int64)
             out[a.name] = cnt.astype(np.float64)
-        elif base in ("sum", "count", "avg"):
+        elif base == "count":
+            _, pcnt = prefixes(a.col, where)
+            hcnt = pcnt[hist_end] - pcnt[start]
+            v = values[a.col]
+            sok = self_in & notnull(v)
+            if where is not None:
+                sok = sok & values[where].astype(bool)
+            out[a.name] = (hcnt + sok.astype(np.int64)).astype(np.float64)
+        elif base in ("sum", "avg"):
+            if values[a.col].dtype == object:
+                raise NotImplementedError(
+                    f"{base} over a string column is not defined")
             psum, pcnt = prefixes(a.col, where)
             hsum = psum[hist_end] - psum[start]
             hcnt = pcnt[hist_end] - pcnt[start]
             v = values[a.col]
-            sok = self_in & ~np.isnan(v)
+            sok = self_in & notnull(v)
             if where is not None:
                 sok = sok & values[where].astype(bool)
             tsum = hsum + np.where(sok, np.nan_to_num(v), 0.0)
             tcnt = hcnt + sok.astype(np.int64)
-            if base == "count":
-                out[a.name] = tcnt.astype(np.float64)
-            elif base == "sum":
+            if base == "sum":
                 r = tsum.copy()
                 r[tcnt == 0] = np.nan
                 out[a.name] = r
@@ -232,14 +257,26 @@ def eval_aggs(
                     r = tsum / tcnt
                 r[tcnt == 0] = np.nan
                 out[a.name] = r
+        elif base in ("min", "max") and values[a.col].dtype == object:
+            # string min/max: generic slow path (frames are short)
+            res = np.full(n, None, dtype=object)
+            for i in range(n):
+                items = where_items(a.col, where, i)
+                if items:
+                    res[i] = min(items) if base == "min" else max(items)
+            out[a.name] = res
         elif base in ("min", "max"):
             op = np.minimum if base == "min" else np.maximum
             mv = masked_vals(a.col, where)
-            # NaNs poison the sparse table -> replace with +/- inf sentinel
+            # NaNs poison the sparse table -> +/- inf sentinel; an
+            # explicit valid-count decides nullity, so legitimate
+            # infinite values survive (sentinel only wins when the
+            # whole range is null)
+            _, pcnt_mm = prefixes(a.col, where)
             sent = np.inf if base == "min" else -np.inf
             mv_f = np.where(np.isnan(mv), sent, mv)
             hist = _range_reduce(mv_f, start, hist_end, op)
-            hist[np.isinf(hist)] = np.nan  # all-null range
+            hist[(pcnt_mm[hist_end] - pcnt_mm[start]) == 0] = np.nan
             selfv = np.where(self_in, mv, np.nan)
             out[a.name] = _combine_self(hist, selfv, self_in, op)
         elif base == "distinct_count":
@@ -257,8 +294,9 @@ def eval_aggs(
             in_hist = (pos >= start) & (pos < hist_end)
             is_self = (pos == idx) & self_in
             ok = in_hist | is_self
-            res = np.full(n, np.nan)
             v = values[a.col]
+            res = (np.full(n, None, dtype=object) if v.dtype == object
+                   else np.full(n, np.nan))
             res[ok] = v[np.clip(pos[ok], 0, n - 1)]
             out[a.name] = res
         elif base == "first_value":
@@ -267,16 +305,18 @@ def eval_aggs(
             idx = np.arange(n, dtype=np.int64)
             newest = np.where(self_in, idx, hist_end - 1)
             ok = newest >= start
-            res = np.full(n, np.nan)
             v = values[a.col]
+            res = (np.full(n, None, dtype=object) if v.dtype == object
+                   else np.full(n, np.nan))
             res[ok] = v[np.clip(newest[ok], 0, n - 1)]
             out[a.name] = res
         elif base == "last_value_in_frame":
             # oldest frame row (start index), standard-SQL first_value analog
             ok = (hist_end > start) | self_in
             oldest = np.where(hist_end > start, start, np.arange(n))
-            res = np.full(n, np.nan)
             v = values[a.col]
+            res = (np.full(n, None, dtype=object) if v.dtype == object
+                   else np.full(n, np.nan))
             res[ok] = v[np.clip(oldest[ok], 0, n - 1)]
             out[a.name] = res
         elif base == "row_number":
@@ -303,10 +343,13 @@ def eval_aggs(
             for i in range(n):
                 items = _frame_items(v, start, hist_end, self_in, i)
                 if items:
-                    vals_u, cnts = np.unique(items, return_counts=True)
-                    order = np.lexsort((-vals_u, -cnts))
-                    res[i] = ",".join(_fmt(vals_u[j])
-                                      for j in order[: a.k])
+                    counts: dict = {}
+                    for x in items:
+                        counts[x] = counts.get(x, 0) + 1
+                    # count desc, then value desc (string-safe)
+                    ordered = sorted(counts, reverse=True)
+                    ordered.sort(key=counts.get, reverse=True)
+                    res[i] = ",".join(_fmt(x) for x in ordered[: a.k])
                 else:
                     res[i] = ""
             out[a.name] = res

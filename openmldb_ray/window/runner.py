@@ -59,12 +59,26 @@ _STR_FUNCS = {"top", "topn_frequency", "sum_cate", "count_cate", "avg_cate",
               "fz_join"}
 _LIST_FUNCS = {"fz_window_split", "fz_window_split_by_key",
                "fz_window_split_by_value"}
+# value-passing funcs inherit string-ness from their input column
+_VALUE_FUNCS = {"min", "max", "min_where", "max_where", "lag", "at",
+                "first_value", "last_value_in_frame"}
 
 
-def _agg_type(a: Agg) -> pa.DataType:
+def _string_out(a: Agg, schema: pa.Schema | None) -> bool:
+    """True when this agg emits the column's own (string) values."""
+    if schema is None or a.col is None or a.func not in _VALUE_FUNCS:
+        return False
+    if a.col not in schema.names:
+        return False
+    t = schema.field(a.col).type
+    return (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t))
+
+
+def _agg_type(a: Agg, schema: pa.Schema | None = None) -> pa.DataType:
     if a.func in _INT_FUNCS:
         return pa.int64()
-    if a.func in _STR_FUNCS:
+    if a.func in _STR_FUNCS or _string_out(a, schema):
         return pa.string()
     if a.func in _LIST_FUNCS:
         return pa.list_(pa.string())
@@ -113,8 +127,10 @@ class _BucketWindow:
         starts = np.concatenate(([0], boundaries, [n])).astype(np.int64)
 
         all_aggs = [a for _, aggs in self.specs_aggs for a in aggs]
+        schema = group.schema
         outs = {a.name: (np.full(n, None, dtype=object)
                          if a.func in _STR_FUNCS or a.func in _LIST_FUNCS
+                         or _string_out(a, schema)
                          else np.full(n, np.nan))
                 for a in all_aggs}
         out_tables = []
@@ -129,6 +145,17 @@ class _BucketWindow:
             vals = {c: column_to_float(run[c]) for c in value_cols}
             for spec, aggs in self.specs_aggs:
                 ts = order_to_int64(run[spec.order_by])
+                # the kernel's searchsorted frame bounds require an
+                # ascending axis; a secondary spec whose order_by is
+                # not monotone under sort_cols (or a run_transform
+                # emitting a non-monotone axis) must fail loudly, not
+                # return silently-wrong frames
+                if len(ts) > 1 and np.any(np.diff(ts) < 0):
+                    raise ValueError(
+                        f"order axis {spec.order_by!r} is not "
+                        f"non-decreasing under sort_cols="
+                        f"{self.sort_cols}; all specs' order_by must "
+                        "be monotone under the shared per-run sort")
                 res = eval_aggs(ts, vals, aggs, spec,
                                 is_primary=is_primary[lo:hi])
                 for name, arr in res.items():
@@ -149,7 +176,7 @@ class _BucketWindow:
             if a.func in _INT_FUNCS:
                 cols.append(pa.array(np.nan_to_num(
                     arr.astype(np.float64)).astype(np.int64)))
-            elif a.func in _STR_FUNCS:
+            elif a.func in _STR_FUNCS or _string_out(a, schema):
                 cols.append(pa.array(arr.tolist(), type=pa.string()))
             elif a.func in _LIST_FUNCS:
                 cols.append(pa.array(arr.tolist(),
@@ -168,7 +195,7 @@ class _BucketWindow:
         for _, aggs in self.specs_aggs:
             for a in aggs:
                 names.append(a.name)
-                cols.append(pa.array([], type=_agg_type(a)))
+                cols.append(pa.array([], type=_agg_type(a, group.schema)))
         return pa.table(cols, names=names)
 
 

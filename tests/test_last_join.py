@@ -97,3 +97,51 @@ def test_last_join_no_order_first_storage_row(ray_session):
     got = last_join(left, right, on="k", payload=["p"],
                     broadcast=True).to_pandas()
     assert got["p"].tolist() == [7]
+
+
+def test_asof_descending_picks_min_qualifying(ray_session):
+    """ORDER BY ts DESC + left_ts: LAST row of the desc-ordered right
+    table that satisfies ts <= left_ts is the MIN qualifying ts."""
+    import ray.data
+
+    from openmldb_ray.joins import last_join
+    left = ray.data.from_items([{"k": 1, "lts": 25}, {"k": 1, "lts": 5},
+                                {"k": 2, "lts": 100}])
+    right = ray.data.from_items([{"k": 1, "ts": 10, "v": "a"},
+                                 {"k": 1, "ts": 20, "v": "b"},
+                                 {"k": 1, "ts": 30, "v": "c"}])
+    for bcast in (True, False):
+        out = last_join(left, right, on="k", order_by="ts", left_ts="lts",
+                        descending=True, payload=["v"],
+                        broadcast=bcast).to_pandas() \
+            .sort_values("lts").reset_index(drop=True)
+        assert out["v"].tolist() == [None, "a", None]
+        # ascending picks the max qualifying instead
+        out2 = last_join(left, right, on="k", order_by="ts", left_ts="lts",
+                         payload=["v"], broadcast=bcast).to_pandas() \
+            .sort_values("lts").reset_index(drop=True)
+        assert out2["v"].tolist() == [None, "b", None]
+
+
+def test_last_join_non_equi_condition(ray_session):
+    """Extra non-equi predicate over candidate pairs (reference runs
+    these as a JIT row UDF, JoinPlan.scala:108-143)."""
+    import ray.data
+
+    from openmldb_ray.joins import last_join
+    left = ray.data.from_items([{"k": 1, "lts": 50, "cap": 15},
+                                {"k": 1, "lts": 50, "cap": 100}])
+    right = ray.data.from_items([{"k": 1, "ts": 10, "amt": 12},
+                                 {"k": 1, "ts": 20, "amt": 30},
+                                 {"k": 1, "ts": 30, "amt": 99}])
+
+    def cond(lc, rc):
+        return rc["amt"] <= lc["cap"]
+
+    for bcast in (True, False):
+        out = last_join(left, right, on="k", order_by="ts", left_ts="lts",
+                        payload=["amt"], condition=cond,
+                        broadcast=bcast).to_pandas() \
+            .sort_values("cap").reset_index(drop=True)
+        # cap=15: only amt=12 qualifies; cap=100: last qualifying = 99
+        assert out["amt"].tolist() == [12, 99]

@@ -79,3 +79,29 @@ def test_string_aggs_through_dataset(ray_session):
         .to_pandas().sort_values("ts")
     assert out["t2"].iloc[-1] == "3,2"
     assert out["sc"].iloc[0] == "x:0"
+
+
+def test_string_column_value_aggs(ray_session):
+    """min/max/lag/at/first_value/count over a STRING column (the
+    reference supports these; reported broken in round 1)."""
+    import ray.data
+
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    rows = [{"k": "a", "ts": t, "s": v} for t, v in
+            zip(range(1, 6), ["d", "b", None, "e", "a"])]
+    ds = ray.data.from_items(rows)
+    spec = WindowSpec("k", "ts", preceding_rows=2)
+    out = window_agg(ds, spec, [
+        Agg("min", "s", "mn"), Agg("max", "s", "mx"),
+        Agg("count", "s", "c"), Agg("lag", "s", "l1", k=1),
+        Agg("first_value", "s", "fv"),
+        Agg("topn_frequency", "s", "tf", k=2),
+    ], passthrough=["ts"], num_buckets=2).to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    assert out["mn"].tolist() == ["d", "b", "b", "b", "a"]
+    assert out["mx"].tolist() == ["d", "d", "d", "e", "e"]
+    assert out["c"].tolist() == [1, 2, 2, 2, 2]
+    assert out["l1"].tolist() == [None, "d", "b", None, "e"]
+    assert out["fv"].tolist() == ["d", "b", None, "e", "a"]
+    # ties by larger value first after count
+    assert out["tf"].iloc[1] == "d,b"

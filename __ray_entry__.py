@@ -506,6 +506,24 @@ def _q_minhash_pairs(sf_dir):
     return minhash_duplicate_pairs(docs, jaccard_threshold=0.5)
 
 
+def _q_minhash_dedup(sf_dir):
+    """End-to-end near-dup dedup: drop the id_b side of every confirmed
+    pair via the distributed anti-join (rows-only; minhash candidates
+    are probabilistic)."""
+    from openmldb_ray.ops.dedup import dedup_minhash
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_minhash(docs, jaccard_threshold=0.5)
+    return out.select_columns(["doc_id"])
+
+
+def _q_simhash_pairs(sf_dir):
+    """SimHash near-dup pairs via the 4x16-bit table split (rows-only;
+    FNV bit votes are not SQL-expressible)."""
+    from openmldb_ray.ops.dedup import simhash_duplicate_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_duplicate_pairs(docs, max_hamming=8)
+
+
 def _q_simhash(sf_dir):
     from openmldb_ray.ops.dedup import simhash_signatures
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -604,6 +622,22 @@ def _q_window_salted(sf_dir):
                              hot_frac=0.001, min_rows=10, parts=4)
 
 
+def _q_window_salted_rows(sf_dir):
+    """Count-based (ROWS) frame through the salting path (hot threshold
+    forced low so every user is 'hot') — must match the plain-window
+    SQL oracle exactly."""
+    from openmldb_ray.skew import salted_window_agg
+    from openmldb_ray.window import Agg, WindowSpec
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    spec = WindowSpec("user_id", "ts", preceding_rows=20)
+    return salted_window_agg(ev, spec,
+                             [Agg("sum", "value", "s"),
+                              Agg("count", None, "n"),
+                              Agg("min", "value", "mn")],
+                             passthrough=["event_id", "user_id", "ts"],
+                             hot_frac=0.001, min_rows=10, parts=4)
+
+
 def _q_fz_window(sf_dir):
     """fz_* window forms over events.props (rows-only check)."""
     from openmldb_ray.window import Agg, WindowSpec, window_agg
@@ -659,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _q_window_distinct,
         "window_at": _q_window_at,
         "window_salted": _q_window_salted,
+        "window_salted_rows": _q_window_salted_rows,
         "window_ect": _q_window_ect,
         "window_open_preceding": _q_window_open_preceding,
         "window_inw": _q_window_inw,
@@ -690,9 +725,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_dedup": _q_minhash_dedup,
         "embedding_dups": _q_embedding_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "multimodal_decode": _q_multimodal_decode,
     }
 
@@ -800,6 +837,12 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                        AND CURRENT ROW)""",
+        "window_salted_rows": """
+          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
+                 count(*) OVER w AS n, min(value) OVER w AS mn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""",
         "window_maxsize": """
           SELECT e.event_id, e.user_id, e.ts,
             (SELECT sum(value) FROM (

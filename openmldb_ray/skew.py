@@ -77,8 +77,17 @@ def salted_window_agg(
 ) -> ray.data.Dataset:
     """The reference's quantile-salting scheme, generic form — for a
     window whose ORDER BY axis exists as a physical column (events-
-    style tables) and whose frame is time-bounded (``preceding_range``;
-    a rows bound cannot be replicated by time proximity).
+    style tables). Handles BOTH frame kinds:
+
+    - ``preceding_range``: replicate rows by time proximity
+      (ts >= boundary - range);
+    - ``preceding_rows``: count-based lookback — an exact per-(key,
+      part) row-count pre-pass (partial agg, no shuffle) picks, for
+      each part, the minimal run of whole predecessor parts covering
+      ``preceding_rows`` rows, and replicates those (extra history is
+      harmless: frame bounds cap the lookback; the reference bounds
+      the same replication by minBlockSize,
+      utils/SkewDataFrameUtils.scala:110-127).
 
     Mirrors WindowAggPlan.windowPartitionWithSkewOpt
     (WindowAggPlan.scala:194-314 + SkewDataFrameUtils.scala:26-143):
@@ -87,9 +96,9 @@ def salted_window_agg(
        ts quantiles per hot key -> part boundaries (the
        percentile_approx analog), broadcast;
     2. tag each hot row PART_ID by quantile; re-emit the rows that a
-       later part's frames can reach (ts >= boundary - range) with
-       EXPANDED=true — they feed buffers, never emit (the same
-       buffer-only mechanics as WINDOW UNION);
+       later part's frames can reach with EXPANDED=true — they feed
+       buffers, never emit (the same buffer-only mechanics as WINDOW
+       UNION);
     3. shuffle on (key, PART_ID) instead of key -> a hot key spreads
        over ``parts`` tasks; cold keys ride along with PART_ID=0.
 
@@ -101,9 +110,6 @@ def salted_window_agg(
     from openmldb_ray.io import hash_columns, order_to_int64
     from openmldb_ray.window.runner import _BUCKET, _TAG, _BucketWindow
 
-    if spec.preceding_range is None or spec.preceding_rows is not None:
-        raise ValueError("salted_window_agg requires a pure ROWS_RANGE "
-                         "frame (time-bounded history replication)")
     if len(spec.keys) != 1:
         raise ValueError("single partition key supported")
     key = spec.keys[0]
@@ -147,7 +153,42 @@ def salted_window_agg(
                          np.linspace(0, 1, parts + 1)[1:-1])
         bounds[k] = np.unique(qs.astype(np.int64))
     bref = ray.put(bounds)
-    rng_t = int(spec.preceding_range)
+    rng_t = int(spec.preceding_range) if spec.preceding_range else None
+    rows_R = int(spec.preceding_rows) if spec.preceding_rows else None
+
+    # count-based frames need exact per-(key, part) row counts so the
+    # minimal set of whole predecessor parts covering R rows can be
+    # replicated — one cheap partial-agg pass, no shuffle
+    pmin: dict = {}
+    if rows_R is not None:
+        def part_count(b: pa.Table) -> pa.Table:
+            ts = order_to_int64(b[spec.order_by])
+            keys_np = b[key].to_numpy(zero_copy_only=False)
+            ks, ns, ps = [], [], []
+            for k, bnds in bounds.items():
+                rows = np.flatnonzero(keys_np == k)
+                if len(rows) == 0:
+                    continue
+                part = np.searchsorted(bnds, ts[rows], side="right")
+                u, c = np.unique(part, return_counts=True)
+                ks.extend([k] * len(u))
+                ps.extend(u.tolist())
+                ns.extend(c.tolist())
+            return pa.table({key: pa.array(ks),
+                             "__part__": pa.array(ps, type=pa.int64()),
+                             "__n__": pa.array(ns, type=pa.int64())})
+        pdf = ds.map_batches(part_count, batch_format="pyarrow").to_pandas()
+        agg = pdf.groupby([key, "__part__"])["__n__"].sum()
+        for k, bnds in bounds.items():
+            nparts = len(bnds) + 1
+            counts = np.zeros(nparts, dtype=np.int64)
+            if k in agg.index.get_level_values(0):
+                sub = agg.loc[k]
+                counts[sub.index.to_numpy()] = sub.to_numpy()
+            cum = np.concatenate(([0], np.cumsum(counts)))
+            # largest p with sum(counts[p:q]) >= R (minimal replication)
+            ps = np.searchsorted(cum, cum - rows_R, side="right") - 1
+            pmin[k] = np.maximum(ps, 0)  # index q -> first part to copy
 
     def expand(b: pa.Table) -> pa.Table:
         bd = ray.get(bref)
@@ -165,7 +206,13 @@ def salted_window_agg(
             salt[rows] = part.astype(np.int32)
             # replicate history into each later part whose frames reach it
             for q, b_q in enumerate(bnds, start=1):
-                need = rows[(ts[rows] >= b_q - rng_t) & (part < q)]
+                older = part < q
+                need_mask = np.zeros(len(rows), dtype=bool)
+                if rng_t is not None:
+                    need_mask |= older & (ts[rows] >= b_q - rng_t)
+                if rows_R is not None:
+                    need_mask |= older & (part >= pmin[k][q])
+                need = rows[need_mask]
                 if len(need):
                     out_idx.append(need)
                     out_salt.append(np.full(len(need), q, dtype=np.int32))

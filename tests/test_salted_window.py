@@ -55,8 +55,34 @@ def test_salted_equals_unsalted(ray_session, spec):
     _cmp(base, salted)
 
 
-def test_salted_rejects_rows_frames(ray_session):
-    ds = ray.data.from_items([{"user_id": 1, "ts": 1, "v": 1.0}])
-    with pytest.raises(ValueError):
-        salted_window_agg(ds, WindowSpec("user_id", "ts", preceding_rows=3),
-                          [Agg("sum", "v", "s")])
+def _mk_unique_ts(n=20_000, hot_frac=0.4, seed=11):
+    """ROWS frames need a deterministic total order -> unique ts."""
+    rng = np.random.default_rng(seed)
+    hot = rng.random(n) < hot_frac
+    uid = np.where(hot, 0, rng.integers(1, 50, n))
+    ts = rng.permutation(n * 10)[:n]
+    v = rng.integers(0, 100, n).astype(float)
+    return pd.DataFrame({"event_id": np.arange(n), "user_id": uid,
+                         "ts": ts, "v": v})
+
+
+@pytest.mark.parametrize("spec", [
+    WindowSpec("user_id", "ts", preceding_rows=100),
+    WindowSpec("user_id", "ts", preceding_rows=50, end_offset_rows=5),
+    WindowSpec("user_id", "ts", preceding_rows=200,
+               preceding_range=40_000),
+], ids=["rows", "rows_lag", "merged"])
+def test_salted_rows_frames_equal_unsalted(ray_session, spec):
+    """Count-based frames: whole-predecessor-part replication bounded
+    by the exact part-count pre-pass must be bit-equal to the plain
+    runner."""
+    df = _mk_unique_ts()
+    ds = ray.data.from_pandas(df).materialize()
+    base = window_agg(ds, spec, AGGS,
+                      passthrough=["event_id", "user_id", "ts"],
+                      num_buckets=4).to_pandas()
+    salted = salted_window_agg(ds, spec, AGGS,
+                               passthrough=["event_id", "user_id", "ts"],
+                               num_buckets=4, hot_frac=0.1, min_rows=1000,
+                               parts=6).to_pandas()
+    _cmp(base, salted)

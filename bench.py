@@ -107,6 +107,51 @@ def bench_dedup_exact() -> tuple[float, int]:
     return time.time() - t0, rows
 
 
+def bench_long_window_preagg() -> tuple[float, int]:
+    """Pre-agg long-window serving (reference aggregator.cc analog):
+    distributed bucket build over a 2M-row hot-entity history, then
+    2000 request rows answered from full buckets + edges. The raw-path
+    comparison (full window scan per request) is measured on a 100-
+    request sample and logged to stderr for BASELINE.md."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from openmldb_ray.request import request_features
+    from openmldb_ray.window import Agg, WindowSpec
+    from openmldb_ray.window.preagg import LongWindowStore, build_preagg
+
+    n, width, rng_w = 2_000_000, 10_000, 1_000_000
+    rng = np.random.default_rng(5)
+    hist = pa.table({
+        "k": pa.array(np.repeat("hot", n)),
+        "ts": pa.array(np.sort(rng.integers(0, 20_000_000, n)),
+                       type=pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n).astype(np.float64)),
+    })
+    aggs = [Agg("sum", "v", "s"), Agg("count", None, "n"),
+            Agg("min", "v", "mn"), Agg("max", "v", "mx")]
+    spec = WindowSpec("k", "ts", preceding_range=rng_w)
+    reqs = [{"k": "hot", "ts": int(t), "v": 1.0}
+            for t in rng.integers(rng_w, 20_000_000, 2000)]
+
+    t0 = time.time()
+    ds = ray.data.from_arrow(hist).repartition(32)
+    preagg = build_preagg(ds, "k", "ts", "v", width)
+    store = LongWindowStore(preagg, hist, "k", "ts", "v", width)
+    for r in reqs:
+        store.features(r, spec, aggs)
+    wall = time.time() - t0
+
+    t1 = time.time()
+    for r in reqs[:20]:
+        request_features(r, hist, spec, aggs)
+    raw20 = time.time() - t1
+    print(f"long_window raw-path sample: {raw20:.2f}s / 20 reqs "
+          f"(preagg: {wall:.2f}s incl. build / 2000 reqs)",
+          file=sys.stderr)
+    return wall, len(reqs)
+
+
 def bench_ann() -> tuple[float, int]:
     import numpy as np
     import pyarrow.parquet as pq
@@ -137,6 +182,7 @@ def run_all() -> dict:
         "asof_events": bench_asof_events,
         "dedup_exact": bench_dedup_exact,
         "ann_bruteforce": bench_ann,
+        "long_window_preagg": bench_long_window_preagg,
     }
     queries, rows_out = {}, {}
     for name, fn in benches.items():

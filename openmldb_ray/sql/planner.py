@@ -1,0 +1,515 @@
+"""SQL planner: AST -> Ray Data pipeline.
+
+The Ray-Data re-expression of the reference's plan tree
+(java/openmldb-batch .../SparkPlanner.scala:70-117: Project ->
+WindowAgg -> Join -> GroupBy -> Sort/Limit nodes):
+
+- scans prune columns at the read (only referenced columns leave
+  parquet);
+- WHERE / projections are vectorized Arrow map_batches;
+- each distinct WINDOW definition becomes one window_agg shuffle —
+  several windows (even with different partition keys) chain, each
+  preserving one output row per input row (the ConcatJoin analog,
+  nodes/ConcatJoinPlan.scala:32-78, without the row-id zip);
+- LEFT/INNER JOIN -> bucketed hash_join; LAST JOIN / ASOF LEFT JOIN ->
+  last_join (broadcast by default);
+- GROUP BY -> grouped_aggregate (map-side partial combine);
+- DISTINCT / ORDER BY / LIMIT -> distinct / sort / limit.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from openmldb_ray.sql.ast import (BinOp, Bound, Col, Func, Select,
+                                  SelectItem, Star, TableRef, WinCall,
+                                  WindowDef)
+from openmldb_ray.sql.exprs import collect, const_eval, eval_expr
+from openmldb_ray.window.spec import Agg, WindowSpec
+
+_UNBOUNDED_ROWS = 1 << 40
+_UNBOUNDED_RANGE = 1 << 60
+
+_GROUP_AGGS = {"sum": "sum", "count": "count", "avg": "mean",
+               "mean": "mean", "min": "min", "max": "max"}
+
+# window funcs: SQL name -> kernel func (k-arg funcs handled inline)
+_WIN_DIRECT = {"sum", "count", "min", "max", "avg", "row_number",
+               "distinct_count", "top", "topn_frequency", "top1_ratio",
+               "at", "lag", "lead", "first_value",
+               "sum_cate", "count_cate", "avg_cate", "min_cate",
+               "max_cate", "fz_join", "fz_window_split",
+               "fz_window_split_by_key", "fz_window_split_by_value"}
+
+
+class Catalog:
+    """name -> Dataset factory with column pruning."""
+
+    def __init__(self, sf_dir: str | None = None,
+                 tables: dict | None = None):
+        self.sf_dir = sf_dir
+        self.tables = tables or {}
+
+    def load(self, name: str, columns: set[str]) -> ray.data.Dataset:
+        if name in self.tables:
+            ds = self.tables[name]
+            have = ds.schema().names
+            want = [c for c in have if c in columns]
+            return ds.select_columns(want) if want and len(want) < len(
+                have) else ds
+        if self.sf_dir is None:
+            raise ValueError(f"unknown table {name!r}")
+        import pyarrow.parquet as pq
+        path = f"{self.sf_dir}/{name}.parquet"
+        have = pq.read_schema(path).names
+        want = [c for c in have if c in columns] or None
+        return ray.data.read_parquet(path, columns=want)
+
+
+class Planner:
+    def __init__(self, catalog: Catalog, dialect: str = "ansi"):
+        self.catalog = catalog
+        self.dialect = dialect
+        self._gen = 0
+
+    def _name(self, prefix="c") -> str:
+        self._gen += 1
+        return f"__{prefix}{self._gen}__"
+
+    # ----------------------------------------------------------- entry
+    def plan(self, sel: Select) -> ray.data.Dataset:
+        if sel.ctes:
+            # CTEs become planned datasets in a scoped catalog layer
+            scoped = dict(self.catalog.tables)
+            for name, sub in sel.ctes.items():
+                scoped[name] = Planner(
+                    Catalog(self.catalog.sf_dir, scoped),
+                    self.dialect).plan(sub)
+            self.catalog = Catalog(self.catalog.sf_dir, scoped)
+        cols_referenced = {c.name for c in collect(sel, Col)}
+        ds, colset = self._from(sel.table, cols_referenced, sel)
+        for j in sel.joins:
+            ds, colset = self._join(ds, colset, j, cols_referenced)
+        if sel.where is not None:
+            ds = _filter(ds, sel.where)
+
+        # pull window calls / group aggregates out of the select items
+        win_calls: list[tuple[str, WinCall]] = []
+        agg_calls: list[tuple[str, Func]] = []
+        out_items: list[SelectItem] = []
+        for it in sel.items:
+            expr, wcs, acs = self._extract(it.expr, bool(sel.group_by))
+            win_calls.extend(wcs)
+            agg_calls.extend(acs)
+            out_items.append(SelectItem(expr, it.alias, it.text))
+
+        if win_calls:
+            ds = self._apply_windows(ds, sel, win_calls, colset)
+        if sel.group_by or agg_calls:
+            ds = self._apply_groupby(ds, sel, agg_calls)
+            colset = set(ds.schema().names)
+        if sel.having is not None:
+            ds = _filter(ds, sel.having)
+
+        ds = self._project(ds, out_items)
+        out_names = [self._out_name(it) for it in out_items]
+        if sel.distinct:
+            from openmldb_ray.functions.aggregates import distinct
+            ds = distinct(ds, out_names)
+        if sel.order_by:
+            keys, desc = [], []
+            for e, d in sel.order_by:
+                if not isinstance(e, Col):
+                    raise NotImplementedError("ORDER BY expression")
+                keys.append(e.name)
+                desc.append(d)
+            ds = ds.sort(keys, descending=desc)
+        if sel.limit is not None:
+            ds = ds.limit(sel.limit)
+        return ds
+
+    # ----------------------------------------------------------- FROM
+    def _from(self, t: TableRef | None, referenced: set, sel: Select):
+        if t is None:
+            raise ValueError("SELECT without FROM is not supported")
+        if t.subquery is not None:
+            ds = self.plan(t.subquery)
+            return ds, set(ds.schema().names)
+        ds = self.catalog.load(t.name, referenced)
+        return ds, set(ds.schema().names)
+
+    # ----------------------------------------------------------- JOIN
+    def _join(self, left, lcols: set, j, referenced: set):
+        if j.table.subquery is not None:
+            right = self.plan(j.table.subquery)
+        else:
+            right = self.catalog.load(j.table.name, referenced)
+        rcols = set(right.schema().names)
+        r_alias = j.table.alias or j.table.name
+
+        def side(c: Col) -> str:
+            if c.table is not None:
+                return "r" if c.table == r_alias else "l"
+            inl, inr = c.name in lcols, c.name in rcols
+            if inl and not inr:
+                return "l"
+            if inr and not inl:
+                return "r"
+            raise ValueError(f"ambiguous join column {c.name!r}; "
+                             "qualify it with a table alias")
+
+        eqs, ineq = _split_on(j.on)
+        on, right_on = [], []
+        for a, b in eqs:
+            la, lb = side(a), side(b)
+            if la == "l" and lb == "r":
+                on.append(a.name)
+                right_on.append(b.name)
+            elif la == "r" and lb == "l":
+                on.append(b.name)
+                right_on.append(a.name)
+            else:
+                raise ValueError(f"cannot resolve join keys {a} = {b}")
+        if j.kind in ("left", "inner"):
+            if ineq:
+                raise NotImplementedError("non-equi LEFT JOIN predicate")
+            from openmldb_ray.joins.hash_join import hash_join
+            out = hash_join(left, right, on=on, right_on=right_on,
+                            how=j.kind)
+        elif j.kind == "asof_left":
+            if len(ineq) != 1:
+                raise ValueError("ASOF JOIN needs exactly one inequality")
+            a, b, op = ineq[0]
+            # normalize to left_ts >= right_ts
+            if op in (">=", ">"):
+                lts, rts = a, b
+            else:
+                lts, rts = b, a
+            if side(lts) != "l":
+                lts, rts = rts, lts
+            from openmldb_ray.joins import last_join
+            out = last_join(left, right, on=on, right_on=right_on,
+                            order_by=rts.name, left_ts=lts.name)
+        elif j.kind == "last":
+            from openmldb_ray.joins import last_join
+            order_by = descending = None
+            if j.order_by is not None:
+                order_by = j.order_by[0].name
+                descending = j.order_by[1]
+            out = last_join(left, right, on=on, right_on=right_on,
+                            order_by=order_by,
+                            descending=bool(descending))
+        else:
+            raise NotImplementedError(j.kind)
+        return out, set(out.schema().names)
+
+    # ----------------------------------------------------------- window
+    def _extract(self, e, in_groupby: bool):
+        """Replace WinCall / aggregate Func nodes with generated Cols;
+        return (new_expr, [(name, WinCall)], [(name, Func)])."""
+        wins: list = []
+        aggs: list = []
+
+        def walk(x):
+            if isinstance(x, WinCall):
+                nm = self._name("w")
+                wins.append((nm, x))
+                return Col(nm)
+            if isinstance(x, Func) and in_groupby and \
+                    x.name in _GROUP_AGGS:
+                nm = self._name("g")
+                aggs.append((nm, x))
+                return Col(nm)
+            if hasattr(x, "__dataclass_fields__"):
+                for f in x.__dataclass_fields__:
+                    v = getattr(x, f)
+                    if isinstance(v, list):
+                        setattr(x, f, [
+                            tuple(walk(t) for t in it) if isinstance(
+                                it, tuple) else walk(it) for it in v])
+                    elif isinstance(v, tuple):
+                        setattr(x, f, tuple(walk(t) for t in v))
+                    else:
+                        setattr(x, f, walk(v))
+            return x
+        return walk(e), wins, aggs
+
+    def _apply_windows(self, ds, sel: Select, win_calls, colset):
+        from openmldb_ray.window.runner import window_agg_multi
+        # group calls by their window definition
+        defs: dict[int, WindowDef] = {}
+        groups: dict[int, list] = {}
+        for nm, wc in win_calls:
+            if wc.window is not None:
+                if wc.window not in sel.windows:
+                    raise ValueError(f"unknown window {wc.window}")
+                wd = sel.windows[wc.window]
+                key = id(wd)
+            else:
+                wd = wc.inline
+                key = id(wd)
+            defs[key] = wd
+            groups.setdefault(key, []).append((nm, wc.func))
+
+        for key, calls in groups.items():
+            wd = defs[key]
+            spec, sort_cols, derived = self._window_spec(wd)
+            aggs, derived2 = self._window_aggs(calls)
+            derived.update(derived2)
+            if derived:
+                ds = _add_columns(ds, derived)
+            passthrough = sorted(set(ds.schema().names))
+            union_ds = []
+            for tref in wd.union_tables:
+                if tref.subquery is not None:
+                    union_ds.append(self.plan(tref.subquery))
+                else:
+                    union_ds.append(self.catalog.load(
+                        tref.name, set(passthrough)))
+            ds = window_agg_multi(
+                ds, [(spec, aggs)], union_ds=union_ds,
+                passthrough=passthrough, sort_cols=sort_cols)
+        return ds
+
+    def _window_spec(self, wd: WindowDef):
+        derived: dict = {}
+        keys = []
+        for e in wd.partition_by:
+            if isinstance(e, Col):
+                keys.append(e.name)
+            else:
+                nm = self._name("pk")
+                derived[nm] = e
+                keys.append(nm)
+        sort_cols = []
+        for e, desc in wd.order_by:
+            if desc:
+                raise NotImplementedError("descending window ORDER BY")
+            if not isinstance(e, Col):
+                raise NotImplementedError("window ORDER BY expression")
+            sort_cols.append(e.name)
+        kw: dict = {}
+        ft = wd.frame_type
+        if ft is None:
+            kw["preceding_rows"] = _UNBOUNDED_ROWS
+        else:
+            s, e_ = wd.start, wd.end
+            if ft == "rows":
+                if s.kind == "unbounded":
+                    kw["preceding_rows"] = _UNBOUNDED_ROWS
+                elif s.kind == "preceding":
+                    kw["preceding_rows"] = int(const_eval(s.value))
+                elif s.kind == "current":
+                    kw["preceding_rows"] = 0
+                if e_ and e_.kind == "preceding":
+                    kw["end_offset_rows"] = int(const_eval(e_.value))
+            else:  # range / rows_range
+                if s.kind == "unbounded":
+                    kw["preceding_range"] = _UNBOUNDED_RANGE
+                elif s.kind == "preceding":
+                    kw["preceding_range"] = int(const_eval(s.value))
+                elif s.kind == "current":
+                    kw["preceding_range"] = 0
+                if e_ and e_.kind == "preceding":
+                    kw["end_offset_range"] = int(const_eval(e_.value))
+            if s is not None and s.is_open:
+                kw["open_preceding"] = True
+        if wd.max_size:
+            kw["max_size"] = wd.max_size
+        if wd.exclude_current_time:
+            kw["exclude_current_time"] = True
+        if wd.exclude_current_row or wd.instance_not_in_window:
+            # ANSI EXCLUDE CURRENT ROW == OpenMLDB INSTANCE_NOT_IN_WINDOW
+            # for unique order keys (prior peers remain either way)
+            kw["instance_not_in_window"] = True
+        spec = WindowSpec(tuple(keys), sort_cols[0], **kw)
+        return spec, sort_cols, derived
+
+    def _window_aggs(self, calls):
+        aggs: list[Agg] = []
+        derived: dict = {}
+
+        def argcol(a) -> str | None:
+            if isinstance(a, Col):
+                return a.name
+            nm = self._name("a")
+            derived[nm] = a
+            return nm
+
+        for nm, fn in calls:
+            name = fn.name
+            if name == "lead" and self.dialect == "ansi":
+                k = int(const_eval(fn.args[1])) if len(fn.args) > 1 else 1
+                aggs.append(Agg("lead", argcol(fn.args[0]), nm, k=k))
+                continue
+            if name == "lag":
+                k = int(const_eval(fn.args[1])) if len(fn.args) > 1 else 1
+                aggs.append(Agg("lag", argcol(fn.args[0]), nm, k=k))
+                continue
+            if name == "at":
+                k = int(const_eval(fn.args[1]))
+                aggs.append(Agg("at", argcol(fn.args[0]), nm, k=k))
+                continue
+            if name == "first_value":
+                # ANSI first_value = oldest frame row; OpenMLDB
+                # first_value = newest (window_functions_def.cc:154)
+                f = ("last_value_in_frame" if self.dialect == "ansi"
+                     else "first_value")
+                aggs.append(Agg(f, argcol(fn.args[0]), nm))
+                continue
+            if name == "count" and fn.args and isinstance(fn.args[0],
+                                                          Star):
+                aggs.append(Agg("count", None, nm))
+                continue
+            if name == "count" and fn.distinct:
+                aggs.append(Agg("distinct_count", argcol(fn.args[0]), nm))
+                continue
+            if name in ("top", "topn_frequency"):
+                k = int(const_eval(fn.args[1]))
+                aggs.append(Agg(name, argcol(fn.args[0]), nm, k=k))
+                continue
+            if name.endswith("_cate"):
+                aggs.append(Agg(name, argcol(fn.args[0]), nm,
+                                cate=argcol(fn.args[1])))
+                continue
+            if name.startswith("fz_"):
+                params = tuple(const_eval(a) for a in fn.args[1:])
+                aggs.append(Agg(name, argcol(fn.args[0]), nm,
+                                params=params))
+                continue
+            if name == "row_number":
+                aggs.append(Agg("row_number", None, nm))
+                continue
+            if name in ("sum", "count", "min", "max", "avg"):
+                aggs.append(Agg(name, argcol(fn.args[0]), nm))
+                continue
+            raise NotImplementedError(f"window function {name}")
+        return aggs, derived
+
+    # ----------------------------------------------------------- groupby
+    def _apply_groupby(self, ds, sel: Select, agg_calls):
+        from openmldb_ray.functions.aggregates import grouped_aggregate
+        keys = []
+        derived: dict = {}
+        for e in sel.group_by:
+            if isinstance(e, Col):
+                keys.append(e.name)
+            else:
+                nm = self._name("gk")
+                derived[nm] = e
+                keys.append(nm)
+        plan: dict = {}
+        for nm, fn in agg_calls:
+            kind = _GROUP_AGGS[fn.name]
+            if fn.name == "count" and (not fn.args or isinstance(
+                    fn.args[0], Star)):
+                plan[nm] = ("count", None)
+                continue
+            a = fn.args[0]
+            if isinstance(a, Col):
+                col = a.name
+            else:
+                col = self._name("ga")
+                derived[col] = a
+            plan[nm] = (kind, col)
+        if derived:
+            ds = _add_columns(ds, derived)
+        if not keys:
+            raise NotImplementedError("global aggregate without GROUP BY")
+        return grouped_aggregate(ds, keys, plan)
+
+    # ----------------------------------------------------------- project
+    def _out_name(self, it: SelectItem) -> str:
+        if it.alias:
+            return it.alias
+        if isinstance(it.expr, Col):
+            return it.expr.name
+        return it.text
+
+    def _project(self, ds, items):
+        if len(items) == 1 and isinstance(items[0].expr, Star):
+            return ds
+        names = [self._out_name(it) for it in items]
+        exprs = [it.expr for it in items]
+        star = any(isinstance(e, Star) for e in exprs)
+
+        def fn(t: pa.Table) -> pa.Table:
+            cols, ns = [], []
+            for e, n in zip(exprs, names):
+                if isinstance(e, Star):
+                    for c in t.column_names:
+                        if not c.startswith("__"):
+                            ns.append(c)
+                            cols.append(t[c])
+                    continue
+                v = eval_expr(e, t)
+                if not hasattr(v, "type"):
+                    v = pa.array([v] * t.num_rows)
+                ns.append(n)
+                cols.append(v)
+            return pa.table(cols, names=ns)
+        fn.__name__ = "sql_project"
+        return ds.map_batches(fn, batch_format="pyarrow") if not star \
+            else ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _filter(ds, cond):
+    def fn(t: pa.Table) -> pa.Table:
+        mask = eval_expr(cond, t)
+        import pyarrow.compute as pc
+        return t.filter(pc.fill_null(mask, False))
+    fn.__name__ = "sql_filter"
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _add_columns(ds, derived: dict):
+    def fn(t: pa.Table) -> pa.Table:
+        for nm, e in derived.items():
+            v = eval_expr(e, t)
+            if not hasattr(v, "type"):
+                v = pa.array([v] * t.num_rows)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            t = t.append_column(nm, v)
+        return t
+    fn.__name__ = "sql_derive"
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _split_on(e):
+    """ON conjunction -> ([(colA, colB) equalities], [(a, b, op)
+    inequalities])."""
+    eqs, ineq = [], []
+
+    def walk(x):
+        if isinstance(x, BinOp) and x.op == "AND":
+            walk(x.l)
+            walk(x.r)
+            return
+        if isinstance(x, BinOp) and x.op == "=":
+            if isinstance(x.l, Col) and isinstance(x.r, Col):
+                eqs.append((x.l, x.r))
+                return
+        if isinstance(x, BinOp) and x.op in (">=", "<=", ">", "<"):
+            if isinstance(x.l, Col) and isinstance(x.r, Col):
+                ineq.append((x.l, x.r, x.op))
+                return
+        raise ValueError(f"unsupported join predicate {x}")
+    walk(e)
+    return eqs, ineq
+
+
+def sql(query: str, sf_dir: str | None = None,
+        tables: dict | None = None,
+        dialect: str = "ansi") -> ray.data.Dataset:
+    """Run a SQL query (the engine's supported subset) over the testdata
+    tables in ``sf_dir`` and/or explicit ``tables`` (name -> Dataset).
+
+    ``dialect`` controls the few functions whose semantics differ:
+    ``first_value`` is the oldest frame row under ``"ansi"`` and the
+    newest under ``"openmldb"`` (window_functions_def.cc:154).
+    """
+    from openmldb_ray.sql.parser import parse
+    sel = parse(query)
+    return Planner(Catalog(sf_dir, tables), dialect).plan(sel)

@@ -299,6 +299,19 @@ def eval_aggs(
                    else np.full(n, np.nan))
             res[ok] = v[np.clip(pos[ok], 0, n - 1)]
             out[a.name] = res
+        elif base == "lead":
+            # SQL lead: value k rows AFTER the current row within the
+            # partition (frame-independent, ANSI semantics — the SQL
+            # front end's lead(); the reference pairs lag/lead the same
+            # way via shift)
+            idx = np.arange(n, dtype=np.int64)
+            pos = idx + a.k
+            ok = (pos >= 0) & (pos < n)
+            v = values[a.col]
+            res = (np.full(n, None, dtype=object) if v.dtype == object
+                   else np.full(n, np.nan))
+            res[ok] = v[np.clip(pos[ok], 0, n - 1)]
+            out[a.name] = res
         elif base == "first_value":
             # OpenMLDB quirk: first_value == at(col, 0) == NEWEST frame row
             # (window_functions_def.cc:154)

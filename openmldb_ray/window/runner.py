@@ -60,8 +60,8 @@ _STR_FUNCS = {"top", "topn_frequency", "sum_cate", "count_cate", "avg_cate",
 _LIST_FUNCS = {"fz_window_split", "fz_window_split_by_key",
                "fz_window_split_by_value"}
 # value-passing funcs inherit string-ness from their input column
-_VALUE_FUNCS = {"min", "max", "min_where", "max_where", "lag", "at",
-                "first_value", "last_value_in_frame"}
+_VALUE_FUNCS = {"min", "max", "min_where", "max_where", "lag", "lead",
+                "at", "first_value", "last_value_in_frame"}
 
 
 def _string_out(a: Agg, schema: pa.Schema | None) -> bool:

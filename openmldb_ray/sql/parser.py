@@ -388,6 +388,9 @@ class Parser:
         if t.kind == "NUM":
             self.next()
             return Lit(t.val)
+        if t.kind == "DUR":
+            self.next()
+            return Interval(int(t.val))
         if t.kind == "STR":
             self.next()
             return Lit(t.val)

@@ -259,7 +259,9 @@ class Planner:
             derived.update(derived2)
             if derived:
                 ds = _add_columns(ds, derived)
-            passthrough = sorted(set(ds.schema().names))
+            schema = ds.schema()
+            self._check_window_types(spec, sort_cols, aggs, schema)
+            passthrough = sorted(set(schema.names))
             union_ds = []
             for tref in wd.union_tables:
                 if tref.subquery is not None:
@@ -271,6 +273,28 @@ class Planner:
                 ds, [(spec, aggs)], union_ds=union_ds,
                 passthrough=passthrough, sort_cols=sort_cols)
         return ds
+
+    def _check_window_types(self, spec, sort_cols, aggs, schema):
+        """Eager rejection semantics mirroring the reference
+        (cases/function/window/error_window.yaml): unknown columns
+        (ids 11/16) and non-orderable ORDER BY types (ids 4-7) fail at
+        plan time, not inside tasks."""
+        have = dict(zip(schema.names, schema.types))
+        needed = list(spec.keys) + sort_cols + \
+            [a.col for a in aggs if a.col] + \
+            [a.cate for a in aggs if a.cate]
+        for c in needed:
+            if c not in have:
+                raise ValueError(f"unknown column {c!r} in window "
+                                 f"(have {sorted(have)})")
+        t = have[sort_cols[0]]
+        ok = (pa.types.is_integer(t) or pa.types.is_timestamp(t)
+              or (self.dialect == "ansi" and pa.types.is_date(t)))
+        if not ok:
+            raise ValueError(
+                f"window ORDER BY column {sort_cols[0]!r} has type {t}; "
+                "the reference requires an integer or timestamp order "
+                "key (error_window.yaml ids 4-7)")
 
     def _window_spec(self, wd: WindowDef):
         derived: dict = {}
@@ -296,6 +320,17 @@ class Planner:
         else:
             s, e_ = wd.start, wd.end
             if ft == "rows":
+                from openmldb_ray.sql.ast import Interval as _Iv
+                for b in (s, e_):
+                    if b is not None and b.value is not None and \
+                            collect(b.value, _Iv):
+                        raise ValueError(
+                            "ROWS frame bounds take plain row counts, "
+                            "not time units (error_window.yaml id 8)")
+                if wd.max_size:
+                    raise ValueError(
+                        "ROWS windows do not support MAXSIZE — use "
+                        "ROWS_RANGE (error_window.yaml id 13)")
                 if s.kind == "unbounded":
                     kw["preceding_rows"] = _UNBOUNDED_ROWS
                 elif s.kind == "preceding":

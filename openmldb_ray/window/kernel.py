@@ -219,7 +219,8 @@ def eval_aggs(
         return _frame_items(v, start, hist_end, self_in, i)
 
     for a in aggs:
-        f = a.func
+        f = {"fz_top1_ratio": "top1_ratio",
+             "fz_topn_frequency": "topn_frequency"}.get(a.func, a.func)
         base = f[:-6] if f.endswith("_where") else f
         where = a.where if f.endswith("_where") else None
 
@@ -367,8 +368,12 @@ def eval_aggs(
                     res[i] = ""
             out[a.name] = res
         elif base.endswith("_cate"):
-            # 'K:V,K:V' sorted by key asc (udfs_8h.md sum_cate)
-            agg_kind = base[: -5]
+            # 'K:V,K:V' sorted by key asc (udfs_8h.md sum_cate);
+            # top_n_key_* variant: top-n keys in DESCENDING key order
+            # (udfs_8h.md top_n_key_sum_cate_where)
+            top_n_key = base.startswith("top_n_key_")
+            agg_kind = base[len("top_n_key_"): -5] if top_n_key \
+                else base[: -5]
             v = values[a.col] if a.col else None
             cate = values[a.cate]
             where = values[a.where].astype(bool) if a.where else None
@@ -387,8 +392,10 @@ def eval_aggs(
                     if v is not None and _isnull(val):
                         continue
                     groups.setdefault(cate[j], []).append(val)
+                keys_sorted = (sorted(groups, reverse=True)[: a.k]
+                               if top_n_key else sorted(groups))
                 parts = []
-                for k in sorted(groups):
+                for k in keys_sorted:
                     g = groups[k]
                     if agg_kind == "sum":
                         r = sum(g)

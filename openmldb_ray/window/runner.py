@@ -53,10 +53,13 @@ _TAG = "__tag__"
 _BUCKET = "__bucket__"
 
 _INT_FUNCS = {"count", "count_where", "distinct_count", "row_number"}
-_STR_FUNCS = {"top", "topn_frequency", "sum_cate", "count_cate", "avg_cate",
-              "min_cate", "max_cate", "sum_cate_where", "count_cate_where",
-              "avg_cate_where", "min_cate_where", "max_cate_where",
-              "fz_join"}
+_STR_FUNCS = {"top", "topn_frequency", "fz_topn_frequency", "sum_cate",
+              "count_cate", "avg_cate", "min_cate", "max_cate",
+              "sum_cate_where", "count_cate_where", "avg_cate_where",
+              "min_cate_where", "max_cate_where",
+              "top_n_key_sum_cate_where", "top_n_key_count_cate_where",
+              "top_n_key_avg_cate_where", "top_n_key_min_cate_where",
+              "top_n_key_max_cate_where", "fz_join"}
 _LIST_FUNCS = {"fz_window_split", "fz_window_split_by_key",
                "fz_window_split_by_value"}
 # value-passing funcs inherit string-ness from their input column
@@ -303,6 +306,57 @@ def window_agg_multi(
     except TypeError:  # older Ray without num_partitions
         grouped = bucketed.groupby(_BUCKET)
     return grouped.map_groups(fn, batch_format="pyarrow")
+
+
+def window_agg_concat(
+    ds: ray.data.Dataset,
+    specs_aggs: Sequence[tuple[WindowSpec, Sequence[Agg]]],
+    *,
+    passthrough: Sequence[str] | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Windows over DIFFERENT partition keys in one query — the
+    reference computes each window separately and zips rows by index
+    (ConcatJoin, java/openmldb-batch nodes/ConcatJoinPlan.scala:32-78,
+    SparkPlanner.scala:100-108). Here each distinct key group is one
+    chained window stage that preserves one output row per input row,
+    so no row-id zip is needed; same-key specs still share a single
+    shuffle via window_agg_multi.
+
+    All specs must share the same order column (rows with NULL or
+    negative order keys are dropped once, identically, by each stage).
+    """
+    groups: list[tuple[tuple, list]] = []
+    for spec, aggs in specs_aggs:
+        if groups and groups[-1][0] == spec.keys:
+            groups[-1][1].append((spec, list(aggs)))
+        else:
+            groups.append((spec.keys, [(spec, list(aggs))]))
+    if passthrough is None:
+        cols = {k for spec, _ in specs_aggs for k in spec.keys}
+        cols |= {spec.order_by for spec, _ in specs_aggs}
+        passthrough = sorted(cols)
+
+    def needs(group) -> set:
+        out = set()
+        for spec, aggs in group:
+            out |= set(spec.keys) | {spec.order_by}
+            out |= {a.col for a in aggs if a.col}
+            out |= {a.where for a in aggs if a.where}
+            out |= {a.cate for a in aggs if a.cate}
+        return out
+
+    done: list[str] = []
+    for gi, (_, group) in enumerate(groups):
+        downstream = set()
+        for _, later in groups[gi + 1:]:
+            downstream |= needs(later)
+        carry = sorted((set(passthrough) | downstream) - set(done)) + done
+        ds = window_agg_multi(ds, group, passthrough=carry,
+                              num_buckets=num_buckets)
+        done = done + [a.name for _, aggs in group for a in aggs]
+    # final projection: declared passthrough + every agg column
+    return ds.select_columns(list(passthrough) + done)
 
 
 def window_agg(

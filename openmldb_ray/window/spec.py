@@ -95,6 +95,10 @@ AGG_FUNCS = frozenset(
         "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
         "sum_cate_where", "count_cate_where", "avg_cate_where",
         "min_cate_where", "max_cate_where",
+        "top_n_key_sum_cate_where", "top_n_key_count_cate_where",
+        "top_n_key_avg_cate_where", "top_n_key_min_cate_where",
+        "top_n_key_max_cate_where",
+        "fz_top1_ratio", "fz_topn_frequency",
         "fz_window_split", "fz_window_split_by_key",
         "fz_window_split_by_value", "fz_join",
     }

@@ -94,3 +94,41 @@ def test_null_negative_order_keys_dropped(ray_session):
                      num_buckets=2).to_pandas().sort_values("ts")
     assert len(got) == 2
     assert got["s"].tolist() == [1.0, 5.0]
+
+
+def test_window_agg_concat_different_keys(ray_session):
+    """Windows over DIFFERENT partition keys in one call (ConcatJoin
+    analog): results equal two independent window_agg runs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from openmldb_ray.window import (Agg, WindowSpec, window_agg,
+                                     window_agg_concat)
+    rng = np.random.default_rng(4)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 20, n),
+        "region_id": rng.integers(0, 5, n),
+        "ts": rng.permutation(n * 3)[:n],
+        "v": rng.random(n),
+    })
+    ds = ray.data.from_pandas(df).materialize()
+    by_user = WindowSpec("user_id", "ts", preceding_rows=5)
+    by_region = WindowSpec("region_id", "ts", preceding_range=500)
+    got = window_agg_concat(
+        ds, [(by_user, [Agg("sum", "v", "su")]),
+             (by_region, [Agg("count", None, "cr")])],
+        passthrough=["event_id", "user_id", "region_id", "ts", "v"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    a = window_agg(ds, by_user, [Agg("sum", "v", "su")],
+                   passthrough=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    b = window_agg(ds, by_region, [Agg("count", None, "cr")],
+                   passthrough=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n
+    np.testing.assert_allclose(got["su"], a["su"], rtol=1e-12)
+    np.testing.assert_array_equal(got["cr"], b["cr"])

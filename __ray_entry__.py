@@ -565,6 +565,29 @@ def _q_window_ect(sf_dir):
                       passthrough=["event_id", "user_id", "ts"])
 
 
+def _q_window_ect_ties(sf_dir):
+    """EXCLUDE CURRENT_TIME under heavy ts ties: the order axis is ts
+    truncated to 10-minute buckets, so each user has many equal-ts
+    peers. ECT frame = strictly-older rows in range + the current row
+    itself (mem_catalog.h:459-468) — exactly the correlated oracle."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucket_ts(t: pa.Table) -> pa.Table:
+        tsu = pc.cast(t["ts"], pa.int64())
+        tsb = pc.multiply(pc.divide(tsu, 10 * MIN_US),
+                          pa.scalar(10 * MIN_US, pa.int64()))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts2": tsb, "value": t["value"]})
+    ev = ev.map_batches(bucket_ts, batch_format="pyarrow")
+    spec = WindowSpec("user_id", "ts2", preceding_range=HOUR_US,
+                      exclude_current_time=True)
+    return window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                 Agg("count", None, "n")],
+                      passthrough=["event_id", "user_id", "ts2"])
+
+
 def _q_window_open_preceding(sf_dir):
     """OPEN (exclusive) start bound == closed bound one microsecond
     shorter on a microsecond axis."""
@@ -710,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_salted": _q_window_salted,
         "window_salted_rows": _q_window_salted_rows,
         "window_ect": _q_window_ect,
+        "window_ect_ties": _q_window_ect_ties,
         "window_open_preceding": _q_window_open_preceding,
         "window_inw": _q_window_inw,
         "window_concat_keys": _q_window_concat_keys,
@@ -895,6 +919,20 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                        AND CURRENT ROW)""",
+        "window_ect_ties": """
+          WITH b AS (
+            SELECT event_id, user_id,
+                   (epoch_us(ts) // 600000000) * 600000000 AS ts2,
+                   value
+            FROM events)
+          SELECT e.event_id, e.user_id, e.ts2,
+            (SELECT coalesce(sum(value), 0) FROM b e2
+             WHERE e2.user_id = e.user_id AND e2.ts2 < e.ts2
+               AND e2.ts2 >= e.ts2 - 3600000000) + e.value AS s,
+            (SELECT count(*) FROM b e2
+             WHERE e2.user_id = e.user_id AND e2.ts2 < e.ts2
+               AND e2.ts2 >= e.ts2 - 3600000000) + 1 AS n
+          FROM b e""",
         "window_open_preceding": """
           SELECT event_id, user_id, ts, sum(value) OVER w AS s,
                  count(*) OVER w AS n

@@ -56,20 +56,42 @@ def pool_concurrency(frac: float = 0.5, cap: int | None = None
     return (1, c)
 
 
-def default_num_buckets(floor: int = 8) -> int:
-    """Shuffle bucket count (measured sweeps at 22M rows):
+def estimate_source_bytes(ds) -> int | None:
+    """Uncompressed-ish input size from the dataset's SOURCE parquet
+    files (lineage metadata only — never executes the pipeline).
+    Returns None when the source isn't file-backed."""
+    import os
+    try:
+        files = ds.input_files()
+        if not files:
+            return None
+        raw = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        return raw * 4  # parquet -> in-memory expansion, measured ~3-5x
+    except Exception:
+        return None
 
-    - key-based repartition under HASH_SHUFFLE: 2x cpus is optimal
-      (8 cpus: nb16 17.1s < nb8 18.3s; 32 cpus: nb32 7.5s ~ nb64 7.6s
-      < nb16 9.2s);
-    - groupby sort-shuffle fallback: fewer partitions win (~150 ms
-      fixed cost each) -> cpus/2.
+
+def default_num_buckets(floor: int = 8, ds=None) -> int:
+    """Shuffle bucket count.
+
+    Measured sweeps: at 22M rows under HASH_SHUFFLE, 2x cpus is optimal
+    (8 cpus: nb16 17.1s < nb8 18.3s; 32 cpus: nb32 7.5s ~ nb64 7.6s
+    < nb16 9.2s) — but each partition costs ~100-150 ms fixed, so a
+    100k-row job at 64 partitions pays ~2 s of pure setup (measured:
+    nb8 2.0s vs nb64 4.0s). When the input size is knowable from source
+    file metadata, size buckets to ~8 MB each, clamped to [4, 2x cpus];
+    unknown sizes keep the cpu-based default.
 
     At 100 TB raise this so one bucket stays under ~1-2 GB (buckets ~
-    data_bytes / 1 GB) -- pass num_buckets explicitly in that regime."""
+    data_bytes / 1 GB) — pass num_buckets explicitly in that regime."""
     from ray.data.context import DataContext, ShuffleStrategy
     cpus = cluster_cpus()
     if DataContext.get_current().shuffle_strategy == \
             ShuffleStrategy.HASH_SHUFFLE:
-        return max(floor, cpus * 2)
+        cap = max(floor, cpus * 2)
+        if ds is not None:
+            est = estimate_source_bytes(ds)
+            if est is not None:
+                return int(max(4, min(cap, est // (8 << 20))))
+        return cap
     return max(floor, cpus // 2)

@@ -64,35 +64,41 @@ class QualityScore:
         batch["digit_ratio"] = s.str.count(r"\d") / nc
         batch["upper_ratio"] = s.str.count(r"[A-Z]") / nc
         batch["punct_ratio"] = s.str.count(r"[.,;:!?]") / nc
-        batch["stop_ratio"] = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in _STOP_EN)
-        ) / nw
+        batch["stop_ratio"] = _stopword_counts(s, _STOP_EN) / nw
         return batch
+
+
+def _stopword_counts(s: pd.Series, table: set[str]) -> np.ndarray:
+    """Whitespace-token stopword count per text, vectorized: one
+    C-backed regex count over the lowercased text instead of a Python
+    loop per word. Tokens are whitespace-delimited (a token with
+    trailing punctuation does not match — same as ``w.lower() in
+    table``)."""
+    pat = r"(?:(?<=\s)|^)(?:" + "|".join(sorted(table)) + r")(?=\s|$)"
+    return s.str.lower().str.count(pat).to_numpy()
 
 
 class LangId:
     """Tiny stopword-vote language ID over {en,de,fr,es}; 'und'
-    (undetermined) when no stopwords hit. A deterministic n-gram
-    heuristic — a stand-in with the exact Ray plumbing a fasttext-style
-    model stage would have (model load once per actor)."""
+    (undetermined) when no stopwords hit. A deterministic heuristic —
+    a stand-in with the exact Ray plumbing a fasttext-style model stage
+    would have (model load + regex compile once per actor); the vote is
+    vectorized (one regex count per language per batch, argmax)."""
+
+    LANGS = ("en", "de", "fr", "es")
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
-        self.tables = [("en", _STOP_EN), ("de", _STOP_DE),
-                       ("fr", _STOP_FR), ("es", _STOP_ES)]
-
-    def _vote(self, text: str) -> str:
-        ws = [w.lower() for w in (text or "").split()]
-        best, best_n = "und", 0
-        for lang, table in self.tables:
-            n = sum(1 for w in ws if w in table)
-            if n > best_n:
-                best, best_n = lang, n
-        return best
+        self.tables = [_STOP_EN, _STOP_DE, _STOP_FR, _STOP_ES]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch[self.out_col] = batch[self.text_col].map(self._vote)
+        s = batch[self.text_col].fillna("")
+        counts = np.stack([_stopword_counts(s, t) for t in self.tables])
+        best = counts.argmax(axis=0)  # first max wins = priority order
+        pred = np.array(self.LANGS, dtype=object)[best]
+        pred[counts.max(axis=0) == 0] = "und"
+        batch[self.out_col] = pred
         return batch
 
 

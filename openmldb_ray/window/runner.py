@@ -239,12 +239,12 @@ def window_agg_multi(
     and ``input_cols`` must list the physical columns to shuffle.
     """
     if num_buckets is None:
-        # measured: per-shuffle-partition fixed cost ~150ms dominates
-        # small jobs; cpus/2 partitions saturate the kernel stage while
-        # keeping shuffle overhead low. Raise for data where a
-        # partition would exceed ~1-2 GB (100 TB: buckets ~ bytes/1GB).
+        # sized to the INPUT when source metadata allows (a 100k-row
+        # job at 2x-cpus partitions pays ~2 s of pure partition setup);
+        # raise explicitly for data where a partition would exceed
+        # ~1-2 GB (100 TB: buckets ~ bytes/1GB).
         from openmldb_ray.context import default_num_buckets
-        num_buckets = default_num_buckets()
+        num_buckets = default_num_buckets(ds=ds)
     specs_aggs = [(s, list(a)) for s, a in specs_aggs]
     keys = specs_aggs[0][0].keys
     for s, _ in specs_aggs:

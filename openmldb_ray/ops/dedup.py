@@ -398,12 +398,22 @@ def simhash_duplicate_pairs(
     rows = sigs.map_batches(explode, batch_format="pyarrow")
     cand = _candidate_pairs(rows, id_col, ["subkey"])
 
-    # re-attach signatures (slim join: 8 bytes per side)
+    # re-attach signatures (slim join: 8 bytes per side); schemas are
+    # passed explicitly — schema() on the shuffle-derived candidate set
+    # would re-execute its lineage just to learn the column names
     from openmldb_ray.joins.hash_join import hash_join
+    dsch = ds.schema()
+    id_type = dsch.types[dsch.names.index(id_col)]
     slim = sigs.select_columns([id_col, "simhash"])
-    j = hash_join(cand, slim, on="id_a", right_on=id_col)
+    slim_schema = pa.schema([(id_col, id_type), ("simhash", pa.uint64())])
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
+    j = hash_join(cand, slim, on="id_a", right_on=id_col,
+                  left_schema=pair_schema, right_schema=slim_schema)
     j = j.rename_columns({"simhash": "__sig_a__"})
-    j = hash_join(j, slim, on="id_b", right_on=id_col)
+    j = hash_join(j, slim, on="id_b", right_on=id_col,
+                  left_schema=pair_schema.append(
+                      pa.field("__sig_a__", pa.uint64())),
+                  right_schema=slim_schema)
     j = j.rename_columns({"simhash": "__sig_b__"})
 
     def verify(b: pa.Table) -> pa.Table:

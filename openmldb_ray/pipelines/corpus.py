@@ -176,7 +176,8 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
                               num_buckets: int | None = None,
                               hot_frac: float = 0.05,
                               min_rows: int = 100_000,
-                              materialize: bool = True
+                              materialize: bool = True,
+                              pin_dir: str | None = None
                               ) -> ray.data.Dataset:
     """Fused corpus features with explicit hot-key handling: sources
     holding > ``hot_frac`` of rows are split out and processed
@@ -190,7 +191,17 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     # three consumers (hot detect, cold path, hot subsets): pin the slim
     # corpus once instead of re-reading the source per branch. At 100 TB
     # the analog is a parquet checkpoint of the slim projection.
-    slim = corpus.select_columns(["doc_id", "n_tok", "source"]).materialize()
+    # the slim projection is consumed by three branches; pin it once.
+    # pin_dir switches the pin from an object-store materialize to a
+    # resumable parquet checkpoint — the 100 TB mode, where the slim
+    # projection exceeds aggregate object-store memory and a killed run
+    # must not redo the tokenize pass (manifest + _SUCCESS semantics).
+    slim = corpus.select_columns(["doc_id", "n_tok", "source"])
+    if pin_dir is not None:
+        from openmldb_ray.state.checkpoint import checkpoint
+        slim = checkpoint(slim, pin_dir)
+    else:
+        slim = slim.materialize()
     hot = detect_hot_keys(slim, "source", hot_frac, min_rows)
     if not hot:
         out = corpus_features_fused(slim, num_buckets)

@@ -72,3 +72,25 @@ def test_entry_contract(ray_session):
     qs = e.queries()
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
+
+
+def test_skewaware_pin_dir_checkpoint(ray_session, tmp_path):
+    """pin_dir mode: the slim projection pins to a resumable parquet
+    checkpoint instead of the object store; results unchanged and the
+    checkpoint is reused on a second call."""
+    import os
+
+    from openmldb_ray.pipelines.corpus import (build_corpus,
+                                               corpus_features_skewaware)
+    sf = "/root/testdata/sf0.001"
+    pin = str(tmp_path / "slim_pin")
+    a = corpus_features_skewaware(build_corpus(sf), num_buckets=4,
+                                  hot_frac=0.2, min_rows=10,
+                                  pin_dir=pin).to_pandas()
+    assert os.path.exists(os.path.join(pin, "_SUCCESS"))
+    b = corpus_features_skewaware(build_corpus(sf), num_buckets=4,
+                                  hot_frac=0.2, min_rows=10,
+                                  pin_dir=pin).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])

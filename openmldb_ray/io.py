@@ -61,9 +61,31 @@ def column_to_float(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
             or pa.types.is_binary(arr.type):
         return np.asarray(arr.to_pandas(), dtype=object)
     if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
-        arr = arr.cast(pa.int64())
+        arr = arr.cast(pa.int32() if pa.types.is_date32(arr.type)
+                       else pa.int64())
     out = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     if arr.null_count:
         mask = arr.is_null().to_numpy(zero_copy_only=False)
         out = np.where(mask, np.nan, out)
+    return out
+
+
+def column_to_exact(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Value-preserving column -> object numpy with None for NULLs.
+    Temporal columns become python ints (us for timestamps, days for
+    date32) — float64 silently loses microseconds above 2**53, so
+    value-passing window funcs (lag/at/first_value/min/max/...) must
+    NOT round-trip temporals through floats."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date(arr.type):
+        arr = arr.cast(pa.int32()).cast(pa.int64())
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    out = np.empty(len(np_arr), dtype=object)
+    out[:] = np_arr
+    if arr.null_count:
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        out[mask] = None
     return out

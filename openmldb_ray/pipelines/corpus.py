@@ -202,6 +202,12 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
         slim = checkpoint(slim, pin_dir)
     else:
         slim = slim.materialize()
+    if num_buckets is None:
+        # resolve HERE where the slim size is exactly known (pinned) —
+        # downstream lazy branches would fall back to the raw-file
+        # estimate, which includes the pruned-out token bytes
+        from openmldb_ray.context import default_num_buckets
+        num_buckets = default_num_buckets(ds=slim)
     hot = detect_hot_keys(slim, "source", hot_frac, min_rows)
     if not hot:
         out = corpus_features_fused(slim, num_buckets)

@@ -42,6 +42,7 @@ class Func:
     name: str            # lower-cased
     args: list
     distinct: bool = False
+    ignore_nulls: bool = False
 
 
 @dataclass

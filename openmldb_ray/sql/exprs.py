@@ -242,15 +242,16 @@ def _b(v, tbl):
 
 
 def _align_ts(l, r):
-    """Comparing timestamp col with int/interval micros: cast the
-    timestamp side to int64 us."""
+    """Comparing timestamp/duration values with int/interval micros:
+    cast the temporal side to int64 us."""
+    def is_temporal(t):
+        return t is not None and (pa.types.is_timestamp(t)
+                                  or pa.types.is_duration(t))
     lt = getattr(l, "type", None)
     rt = getattr(r, "type", None)
-    if lt is not None and pa.types.is_timestamp(lt) and isinstance(
-            r, (int, float)):
+    if is_temporal(lt) and isinstance(r, (int, float)):
         return pc.cast(l, pa.int64()), r
-    if rt is not None and pa.types.is_timestamp(rt) and isinstance(
-            l, (int, float)):
+    if is_temporal(rt) and isinstance(l, (int, float)):
         return l, pc.cast(r, pa.int64())
     return l, r
 

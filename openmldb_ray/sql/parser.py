@@ -454,8 +454,16 @@ class Parser:
                     args.append(self.expr())
                     while self.eat_op(","):
                         args.append(self.expr())
+                ignore_nulls = False
+                if self.peek().kind == "IDENT" and \
+                        str(self.peek().val).upper() == "IGNORE":
+                    self.next()
+                    nxt = self.next()  # NULLS (ident) / NULL (kw)
+                    if str(nxt.val).upper() not in ("NULLS", "NULL"):
+                        raise ValueError("expected NULLS after IGNORE")
+                    ignore_nulls = True
                 self.expect_op(")")
-                return Func(name.lower(), args, distinct)
+                return Func(name.lower(), args, distinct, ignore_nulls)
             if self.at_op(".") :
                 self.next()
                 col = self.next()

@@ -386,6 +386,15 @@ class Planner:
                 k = int(const_eval(fn.args[1]))
                 aggs.append(Agg("at", argcol(fn.args[0]), nm, k=k))
                 continue
+            if name == "last_value":
+                if not fn.ignore_nulls:
+                    raise NotImplementedError(
+                        "last_value is supported with IGNORE NULLS "
+                        "(forward fill); plain last_value of a "
+                        "history frame is the current row")
+                aggs.append(Agg("last_value_ignore_nulls",
+                                argcol(fn.args[0]), nm))
+                continue
             if name == "first_value":
                 # ANSI first_value = oldest frame row; OpenMLDB
                 # first_value = newest (window_functions_def.cc:154)

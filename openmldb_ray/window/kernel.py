@@ -324,6 +324,27 @@ def eval_aggs(
                    else np.full(n, np.nan))
             res[ok] = v[np.clip(newest[ok], 0, n - 1)]
             out[a.name] = res
+        elif base == "last_value_ignore_nulls":
+            # newest NON-NULL frame value (ANSI last_value IGNORE NULLS
+            # over a history frame = forward fill) — vectorized running
+            # maximum of valid indices
+            v = values[a.col]
+            ok = notnull(v)
+            if where is not None:
+                ok = ok & values[where].astype(bool)
+            idx = np.arange(n, dtype=np.int64)
+            running = np.maximum.accumulate(np.where(ok, idx, -1))
+            p_hist = np.where(hist_end > 0,
+                              running[np.maximum(hist_end - 1, 0)], -1)
+            p_hist = np.where((hist_end > 0) & (p_hist >= start),
+                              p_hist, -1)
+            p_self = np.where(self_in & ok, idx, -1)
+            pick = np.maximum(p_hist, p_self)
+            res = (np.full(n, None, dtype=object) if v.dtype == object
+                   else np.full(n, np.nan))
+            got = pick >= 0
+            res[got] = v[pick[got]]
+            out[a.name] = res
         elif base == "last_value_in_frame":
             # oldest frame row (start index), standard-SQL first_value analog
             ok = (hist_end > start) | self_in

@@ -45,7 +45,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from openmldb_ray.io import column_to_float, hash_columns, order_to_int64
+from openmldb_ray.io import (column_to_exact, column_to_float,
+                             hash_columns, order_to_int64)
 from openmldb_ray.window.kernel import eval_aggs
 from openmldb_ray.window.spec import Agg, WindowSpec
 
@@ -64,25 +65,35 @@ _LIST_FUNCS = {"fz_window_split", "fz_window_split_by_key",
                "fz_window_split_by_value"}
 # value-passing funcs inherit string-ness from their input column
 _VALUE_FUNCS = {"min", "max", "min_where", "max_where", "lag", "lead",
-                "at", "first_value", "last_value_in_frame"}
+                "at", "first_value", "last_value_in_frame",
+                "last_value_ignore_nulls"}
 
 
-def _string_out(a: Agg, schema: pa.Schema | None) -> bool:
-    """True when this agg emits the column's own (string) values."""
+def _value_out_type(a: Agg, schema: pa.Schema | None) -> pa.DataType | None:
+    """For value-passing funcs over columns whose values must not
+    round-trip through float64 (strings; temporals — microseconds are
+    lossy above 2**53), the preserved output type; else None."""
     if schema is None or a.col is None or a.func not in _VALUE_FUNCS:
-        return False
+        return None
     if a.col not in schema.names:
-        return False
+        return None
     t = schema.field(a.col).type
-    return (pa.types.is_string(t) or pa.types.is_large_string(t)
-            or pa.types.is_binary(t))
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t):
+        return pa.string()
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return t
+    return None
 
 
 def _agg_type(a: Agg, schema: pa.Schema | None = None) -> pa.DataType:
     if a.func in _INT_FUNCS:
         return pa.int64()
-    if a.func in _STR_FUNCS or _string_out(a, schema):
+    if a.func in _STR_FUNCS:
         return pa.string()
+    vt = _value_out_type(a, schema)
+    if vt is not None:
+        return vt
     if a.func in _LIST_FUNCS:
         return pa.list_(pa.string())
     return pa.float64()
@@ -133,9 +144,16 @@ class _BucketWindow:
         schema = group.schema
         outs = {a.name: (np.full(n, None, dtype=object)
                          if a.func in _STR_FUNCS or a.func in _LIST_FUNCS
-                         or _string_out(a, schema)
+                         or _value_out_type(a, schema) is not None
                          else np.full(n, np.nan))
                 for a in all_aggs}
+        # columns consumed ONLY by value-preserving funcs over exact
+        # types ride as object arrays (no float64 round trip)
+        exact_cols = {a.col for a in all_aggs
+                      if _value_out_type(a, schema) is not None
+                      and not pa.types.is_string(_value_out_type(a, schema))}
+        exact_cols -= {a.col for a in all_aggs
+                       if a.col and _value_out_type(a, schema) is None}
         out_tables = []
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
@@ -145,7 +163,9 @@ class _BucketWindow:
             value_cols = sorted({a.col for a in all_aggs if a.col}
                                 | {a.where for a in all_aggs if a.where}
                                 | {a.cate for a in all_aggs if a.cate})
-            vals = {c: column_to_float(run[c]) for c in value_cols}
+            vals = {c: (column_to_exact(run[c]) if c in exact_cols
+                        else column_to_float(run[c]))
+                    for c in value_cols}
             for spec, aggs in self.specs_aggs:
                 ts = order_to_int64(run[spec.order_by])
                 # the kernel's searchsorted frame bounds require an
@@ -176,11 +196,23 @@ class _BucketWindow:
         for a in all_aggs:
             names.append(a.name)
             arr = outs[a.name][is_primary]
+            vt = _value_out_type(a, schema)
             if a.func in _INT_FUNCS:
                 cols.append(pa.array(np.nan_to_num(
                     arr.astype(np.float64)).astype(np.int64)))
-            elif a.func in _STR_FUNCS or _string_out(a, schema):
+            elif a.func in _STR_FUNCS or vt == pa.string():
                 cols.append(pa.array(arr.tolist(), type=pa.string()))
+            elif vt is not None:
+                # exact ints (epoch us / days) -> the original temporal
+                # type; if the source column fell back to float (shared
+                # with a numeric agg), convert losslessly-as-possible
+                vals_list = [None if x is None
+                             or (isinstance(x, float) and np.isnan(x))
+                             else int(x) for x in arr.tolist()]
+                cols.append(pa.array(vals_list, type=pa.int64())
+                            .cast(pa.int32()).cast(vt)
+                            if pa.types.is_date32(vt)
+                            else pa.array(vals_list, type=vt))
             elif a.func in _LIST_FUNCS:
                 cols.append(pa.array(arr.tolist(),
                                      type=pa.list_(pa.string())))

@@ -90,7 +90,7 @@ AGG_FUNCS = frozenset(
         "sum", "min", "max", "count", "avg", "distinct_count",
         "sum_where", "count_where", "avg_where", "min_where", "max_where",
         "lag", "lead", "at", "first_value", "last_value_in_frame",
-        "row_number",
+        "last_value_ignore_nulls", "row_number",
         "top", "topn_frequency", "top1_ratio",
         "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
         "sum_cate_where", "count_cate_where", "avg_cate_where",

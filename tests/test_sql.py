@@ -92,3 +92,40 @@ def test_sql_group_by_matches_pipeline(ray_session):
     got = sql(q, sf_dir=SF).to_pandas()
     pd.testing.assert_frame_equal(_canon(expected), _canon(got),
                                   check_dtype=False, rtol=1e-9, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["sessionize", "backfill"])
+def test_oracle_sql_sessionize_backfill(ray_session, name):
+    """Nested-subquery + inline-OVER + lag-of-timestamp + IGNORE NULLS
+    forms run verbatim too (round-2 parser extensions)."""
+    import __ray_entry__ as entry
+    from openmldb_ray.sql import sql
+    q = entry.oracle_sql()[name]
+    expected = entry.queries()[name](SF).to_pandas()
+    got = sql(q, sf_dir=SF).to_pandas()
+    a, b = _canon(expected), _canon(got)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+def test_kernel_lag_preserves_timestamp_exactness(ray_session):
+    """lag/first_value of a timestamp column must NOT round-trip
+    through float64 (lossy above 2**53 us)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+    base = 1_770_000_000_000_001  # odd epoch-us > 2**50
+    ts_vals = [base * 1000 + i for i in range(5)]  # ~1.77e18, odd offsets
+    t = pa.table({"k": ["a"] * 5, "ts": pa.array(range(5), pa.int64()),
+                  "ev_ts": pa.array(ts_vals, pa.timestamp("us"))})
+    out = window_agg(ray.data.from_arrow(t),
+                     WindowSpec("k", "ts", preceding_rows=3),
+                     [Agg("lag", "ev_ts", "prev", k=1)],
+                     passthrough=["ts"], num_buckets=2).to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    assert str(out["prev"].dtype).startswith("datetime64")
+    got = out["prev"].astype("int64").tolist()[1:]
+    assert got == ts_vals[:-1]  # exact to the microsecond

@@ -228,7 +228,12 @@ def run_scaling() -> dict:
     # warm run: generates/caches the corpus + warms the page cache
     one(8)
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    # single runs vary ~10-15% (plasma / page-cache state); take the
+    # best of 2 fresh processes per level — same protocol both levels
+    def best(ncpu: int) -> dict:
+        runs = [one(ncpu) for _ in range(2)]
+        return min(runs, key=lambda r: r["queries"]["corpus_flagship"])
+    r_lo, r_hi = best(lo), best(hi)
     t_lo = r_lo["queries"]["corpus_flagship"]
     t_hi = r_hi["queries"]["corpus_flagship"]
     thr_lo = r_lo["rows"]["corpus_flagship"] / t_lo
@@ -236,12 +241,14 @@ def run_scaling() -> dict:
     eff = thr_hi / (thr_lo * (hi / lo))
     return {
         "metric": "corpus_flagship scaling (sequences/sec at two "
-                  "parallelism levels, same input)",
+                  "parallelism levels, same input; best of 2 fresh "
+                  "processes per level)",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
         "throughput_lo": round(thr_lo, 1),
         "throughput_hi": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "runs_per_level": 2,
         "bench_docs": SCALING_DOCS,
     }
 

@@ -115,7 +115,7 @@ class WindowDef:
     frame_type: str | None   # "rows" | "range" | "rows_range" | None
     start: Bound | None = None
     end: Bound | None = None
-    max_size: int = 0
+    max_size: int | None = None   # None = absent; 0 is a plan error
     exclude_current_time: bool = False
     exclude_current_row: bool = False
     instance_not_in_window: bool = False

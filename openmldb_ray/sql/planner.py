@@ -51,6 +51,20 @@ class Catalog:
         self.sf_dir = sf_dir
         self.tables = tables or {}
 
+    def full_schema(self, name: str) -> pa.Schema | None:
+        """Unpruned schema of a named table (WINDOW UNION requires
+        full schema equality, WindowAggPlanUtil.scala:41-92)."""
+        if name in self.tables:
+            s = self.tables[name].schema()
+            return pa.schema(list(zip(s.names, s.types)))
+        if self.sf_dir is None:
+            return None
+        import pyarrow.parquet as pq
+        try:
+            return pq.read_schema(f"{self.sf_dir}/{name}.parquet")
+        except Exception:
+            return None
+
     def load(self, name: str, columns: set[str]) -> ray.data.Dataset:
         if name in self.tables:
             ds = self.tables[name]
@@ -87,10 +101,27 @@ class Planner:
                     Catalog(self.catalog.sf_dir, scoped),
                     self.dialect).plan(sub)
             self.catalog = Catalog(self.catalog.sf_dir, scoped)
+        # output names resolve from the ORIGINAL items (alias / bare
+        # column name / source text) before any qualifier rewriting
+        out_names = [self._out_name(it) for it in sel.items]
         cols_referenced = {c.name for c in collect(sel, Col)}
         ds, colset = self._from(sel.table, cols_referenced, sel)
+        # alias scopes: qualified refs ({1}.c3 when both sides share
+        # column names) resolve through the join's rename map
+        scopes: dict[str, dict[str, str]] = {}
+        if sel.table is not None:
+            base_alias = sel.table.alias or sel.table.name
+            if base_alias:
+                scopes[base_alias] = {c: c for c in colset}
         for j in sel.joins:
-            ds, colset = self._join(ds, colset, j, cols_referenced)
+            ds, colset = self._join(ds, colset, j, cols_referenced,
+                                    scopes)
+        if scopes:
+            for c in collect(sel, Col):
+                if c.table and c.table in scopes and \
+                        c.name in scopes[c.table]:
+                    c.name = scopes[c.table][c.name]
+                    c.table = None
         if sel.where is not None:
             ds = _filter(ds, sel.where)
 
@@ -98,11 +129,11 @@ class Planner:
         win_calls: list[tuple[str, WinCall]] = []
         agg_calls: list[tuple[str, Func]] = []
         out_items: list[SelectItem] = []
-        for it in sel.items:
+        for it, name in zip(sel.items, out_names):
             expr, wcs, acs = self._extract(it.expr, bool(sel.group_by))
             win_calls.extend(wcs)
             agg_calls.extend(acs)
-            out_items.append(SelectItem(expr, it.alias, it.text))
+            out_items.append(SelectItem(expr, name, it.text))
 
         if win_calls:
             ds = self._apply_windows(ds, sel, win_calls, colset)
@@ -140,7 +171,8 @@ class Planner:
         return ds, set(ds.schema().names)
 
     # ----------------------------------------------------------- JOIN
-    def _join(self, left, lcols: set, j, referenced: set):
+    def _join(self, left, lcols: set, j, referenced: set,
+              scopes: dict | None = None):
         if j.table.subquery is not None:
             right = self.plan(j.table.subquery)
         else:
@@ -197,11 +229,32 @@ class Planner:
             if j.order_by is not None:
                 order_by = j.order_by[0].name
                 descending = j.order_by[1]
+                rsch = right.schema()
+                t = dict(zip(rsch.names, rsch.types)).get(order_by)
+                if t is not None and not (pa.types.is_integer(t)
+                                          or pa.types.is_timestamp(t)):
+                    raise ValueError(
+                        f"LAST JOIN ORDER BY column {order_by!r} has "
+                        f"type {t}; the reference requires an integer "
+                        "or timestamp order key "
+                        "(test_lastjoin_simple.yaml ids 7-10)")
             out = last_join(left, right, on=on, right_on=right_on,
                             order_by=order_by,
                             descending=bool(descending))
         else:
             raise NotImplementedError(j.kind)
+        if scopes is not None and r_alias:
+            # how the joins name right columns: keys fold into the left
+            # key columns; payload collisions get the "_r" suffix
+            ren = {}
+            for c in rcols:
+                if c in right_on:
+                    ren[c] = on[right_on.index(c)]
+                elif c in lcols:
+                    ren[c] = c + "_r"
+                else:
+                    ren[c] = c
+            scopes[r_alias] = ren
         return out, set(out.schema().names)
 
     # ----------------------------------------------------------- window
@@ -263,12 +316,26 @@ class Planner:
             self._check_window_types(spec, sort_cols, aggs, schema)
             passthrough = sorted(set(schema.names))
             union_ds = []
+            main_full = (self.catalog.full_schema(sel.table.name)
+                         if sel.table is not None and sel.table.name
+                         else None)
             for tref in wd.union_tables:
                 if tref.subquery is not None:
                     union_ds.append(self.plan(tref.subquery))
-                else:
-                    union_ds.append(self.catalog.load(
-                        tref.name, set(passthrough)))
+                    continue
+                # the reference requires FULL schema equality between
+                # the primary and every union table
+                # (WindowAggPlanUtil.scala:41-92; union yaml ids 1-3)
+                u_full = self.catalog.full_schema(tref.name)
+                if main_full is not None and u_full is not None and (
+                        main_full.names != u_full.names
+                        or list(main_full.types) != list(u_full.types)):
+                    raise ValueError(
+                        f"WINDOW UNION table {tref.name!r} schema "
+                        f"differs from the primary table's "
+                        f"({u_full.names} vs {main_full.names})")
+                union_ds.append(self.catalog.load(
+                    tref.name, set(passthrough)))
             ds = window_agg_multi(
                 ds, [(spec, aggs)], union_ds=union_ds,
                 passthrough=passthrough, sort_cols=sort_cols)
@@ -327,7 +394,7 @@ class Planner:
                         raise ValueError(
                             "ROWS frame bounds take plain row counts, "
                             "not time units (error_window.yaml id 8)")
-                if wd.max_size:
+                if wd.max_size is not None:
                     raise ValueError(
                         "ROWS windows do not support MAXSIZE — use "
                         "ROWS_RANGE (error_window.yaml id 13)")
@@ -350,7 +417,10 @@ class Planner:
                     kw["end_offset_range"] = int(const_eval(e_.value))
             if s is not None and s.is_open:
                 kw["open_preceding"] = True
-        if wd.max_size:
+        if wd.max_size is not None:
+            if wd.max_size <= 0:
+                raise ValueError("MAXSIZE must be positive "
+                                 "(test_maxsize.yaml id 3)")
             kw["max_size"] = wd.max_size
         if wd.exclude_current_time:
             kw["exclude_current_time"] = True
@@ -426,6 +496,10 @@ class Planner:
                 aggs.append(Agg("row_number", None, nm))
                 continue
             if name in ("sum", "count", "min", "max", "avg"):
+                # OpenMLDB window sum over an empty frame is 0, not
+                # NULL (test_maxsize.yaml ids 6-7); ANSI keeps NULL
+                if name == "sum" and self.dialect == "openmldb":
+                    name = "sum_zero"
                 aggs.append(Agg(name, argcol(fn.args[0]), nm))
                 continue
             raise NotImplementedError(f"window function {name}")

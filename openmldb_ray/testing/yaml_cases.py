@@ -1,0 +1,140 @@
+"""Run reference-style YAML conformance cases through the SQL front
+end (cases/function/**/*.yaml in the reference repo: inputs tables +
+SQL + expected rows). The loader builds Ray datasets from the case's
+``inputs``, substitutes ``{0}``/``{1}`` table placeholders, executes
+``sql(...)`` (OpenMLDB dialect, ms time unit — the reference stores
+timestamps as epoch-millisecond ints), and compares against
+``expect.rows`` ordered by ``expect.order``.
+
+This is the engine's analog of the reference's own YAML harness
+(hybridse/src/testing + java sdk test runner): semantics + expected
+rows come from the case file, execution is this engine.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import pyarrow as pa
+import yaml
+
+_TYPES = {
+    "int": pa.int32(), "int32": pa.int32(),
+    "bigint": pa.int64(), "int64": pa.int64(), "long": pa.int64(),
+    "smallint": pa.int16(), "int16": pa.int16(),
+    "float": pa.float32(), "double": pa.float64(),
+    "string": pa.string(),
+    # reference timestamps are epoch-ms ints; keep them int64 so the
+    # case's unit literals (2s == 2000 ms) line up
+    "timestamp": pa.int64(),
+    "date": pa.date32(),
+    "bool": pa.bool_(), "boolean": pa.bool_(),
+}
+
+
+def load_cases(path: str) -> dict:
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    return {c["id"]: c for c in doc["cases"]}
+
+
+def _coerce(v, t: pa.DataType):
+    if v is None:
+        return None
+    if t == pa.date32():
+        if isinstance(v, str):
+            return _dt.date.fromisoformat(v)
+        return v
+    if pa.types.is_floating(t):
+        return float(v)
+    if pa.types.is_integer(t):
+        return int(v)
+    if t == pa.bool_():
+        if isinstance(v, str):
+            return v.lower() == "true"
+        return bool(v)
+    return v
+
+
+def _build_table(spec: dict) -> pa.Table:
+    names, types = [], []
+    for col in spec["columns"]:
+        n, t = col.rsplit(" ", 1)
+        names.append(n.strip())
+        types.append(_TYPES[t.strip().lower()])
+    cols = {n: [] for n in names}
+    for row in spec["rows"]:
+        for n, t, v in zip(names, types, row):
+            cols[n].append(_coerce(v, t))
+    return pa.table({n: pa.array(cols[n], type=t)
+                     for n, t in zip(names, types)})
+
+
+def run_case(case: dict, num_buckets: int = 2):
+    """Execute one case; returns (result_df, expect_df_columns_rows)."""
+    import ray.data
+
+    from openmldb_ray.sql import sql
+    from openmldb_ray.sql.ast import Interval
+    from openmldb_ray.sql.exprs import collect
+    from openmldb_ray.sql.parser import parse
+
+    tables = {}
+    q = case["sql"]
+    for i, spec in enumerate(case["inputs"]):
+        name = spec.get("name", f"t{i}")
+        tables[name] = ray.data.from_arrow(_build_table(spec))
+        q = q.replace("{%d}" % i, name)
+
+    # reference time-unit literals are milliseconds against ms data;
+    # the lexer canonicalizes to us — rescale every Interval node
+    sel = parse(q)
+    for iv in collect(sel, Interval):
+        iv.micros //= 1000
+    from openmldb_ray.sql.planner import Catalog, Planner
+    ds = Planner(Catalog(None, tables), dialect="openmldb").plan(sel)
+    return ds.to_pandas(), case["expect"]
+
+
+def check_case(case: dict) -> None:
+    got, expect = run_case(case)
+    enames, etypes = [], []
+    for col in expect["columns"]:
+        n, t = col.rsplit(" ", 1)
+        enames.append(n.strip())
+        etypes.append(_TYPES[t.strip().lower()])
+    order = expect.get("order")
+    if order:
+        got = got.sort_values(order, kind="stable")
+    got = got.reset_index(drop=True)
+
+    def norm(n: str) -> str:  # reference prints 'sum(c4)over w1'
+        return n.replace(" ", "").lower()
+    assert [norm(c) for c in got.columns] == [norm(c) for c in enames], \
+        (list(got.columns), enames)
+    got.columns = enames
+    rows = expect["rows"]
+    assert len(got) == len(rows), (len(got), len(rows))
+    for ri, row in enumerate(rows):
+        for n, t, v in zip(enames, etypes, row):
+            g = got[n].iloc[ri]
+            e = _coerce(v, t)
+            if e is None:
+                assert g is None or (isinstance(g, float) and math.isnan(g)) \
+                    or str(g) in ("None", "NaT", "nan"), \
+                    f"row {ri} col {n}: expected NULL, got {g!r}"
+                continue
+            if isinstance(e, float):
+                assert g == g and abs(float(g) - e) <= 1e-4 * max(
+                    1.0, abs(e)), f"row {ri} col {n}: {g!r} != {e!r}"
+            elif t == pa.date32():
+                gs = g.isoformat() if hasattr(g, "isoformat") else str(g)
+                assert gs[:10] == e.isoformat(), \
+                    f"row {ri} col {n}: {g!r} != {e!r}"
+            else:
+                if isinstance(g, float):
+                    assert g == g and int(round(g)) == e, \
+                        f"row {ri} col {n}: {g!r} != {e!r}"
+                else:
+                    assert g == e, f"row {ri} col {n}: {g!r} != {e!r}"

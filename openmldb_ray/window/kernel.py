@@ -236,7 +236,7 @@ def eval_aggs(
             if where is not None:
                 sok = sok & values[where].astype(bool)
             out[a.name] = (hcnt + sok.astype(np.int64)).astype(np.float64)
-        elif base in ("sum", "avg"):
+        elif base in ("sum", "sum_zero", "avg"):
             if values[a.col].dtype == object:
                 raise NotImplementedError(
                     f"{base} over a string column is not defined")
@@ -249,7 +249,12 @@ def eval_aggs(
                 sok = sok & values[where].astype(bool)
             tsum = hsum + np.where(sok, np.nan_to_num(v), 0.0)
             tcnt = hcnt + sok.astype(np.int64)
-            if base == "sum":
+            if base == "sum_zero":
+                # OpenMLDB window sum over an EMPTY frame is 0, not
+                # NULL (cases/function/window/test_maxsize.yaml ids
+                # 6-7); ANSI/DuckDB semantics keep the plain "sum"
+                out[a.name] = tsum
+            elif base == "sum":
                 r = tsum.copy()
                 r[tcnt == 0] = np.nan
                 out[a.name] = r

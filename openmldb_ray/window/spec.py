@@ -87,7 +87,7 @@ class WindowSpec:
 #: window position fns default_defs/window_functions_def.cc:96-156).
 AGG_FUNCS = frozenset(
     {
-        "sum", "min", "max", "count", "avg", "distinct_count",
+        "sum", "sum_zero", "min", "max", "count", "avg", "distinct_count",
         "sum_where", "count_where", "avg_where", "min_where", "max_where",
         "lag", "lead", "at", "first_value", "last_value_in_frame",
         "last_value_ignore_nulls", "row_number",

@@ -1,0 +1,84 @@
+"""Reference YAML conformance corpus, executed through the SQL front
+end (openmldb_ray.testing.yaml_cases): the case files below are the
+reference's own test suites — inputs + SQL + expected rows — run
+verbatim on this engine. Failure cases (``success: false``) must
+raise here too.
+
+Skipped ids are named with the reason (constructs outside this
+engine's scope, or reference-specific storage behaviors).
+"""
+
+import pytest
+
+from openmldb_ray.testing.yaml_cases import check_case, load_cases, run_case
+
+WROW = "/root/reference/cases/function/window/test_window_row.yaml"
+WRANGE = "/root/reference/cases/function/window/test_window_row_range.yaml"
+WMAX = "/root/reference/cases/function/window/test_maxsize.yaml"
+
+# case id -> skip reason; everything else in RUN_IDS must pass
+SKIP = {
+    (WROW, 5): "PARTITION BY timestamp ORDER BY id: expect encodes "
+               "reference index ordering quirks",
+    (WROW, 17): "LIMIT without ORDER BY — which 2 rows survive is "
+                "storage-order-dependent in the reference",
+    ("/root/reference/cases/function/window/test_window_union.yaml", 9):
+        "LIMIT without ORDER BY — storage-order-dependent",
+}
+
+
+def _params(path, ids):
+    return [pytest.param(path, i, id=f"{path.rsplit('/', 2)[-1]}:{i}")
+            for i in ids]
+
+
+def _check(path, cid, ray_session):
+    cases = load_cases(path)
+    if cid not in cases:
+        pytest.skip("case id absent in this reference checkout")
+    case = cases[cid]
+    if (path, cid) in SKIP:
+        pytest.skip(SKIP[(path, cid)])
+    expect = case.get("expect", {})
+    if expect.get("success") is False:
+        with pytest.raises(Exception):
+            got, _ = run_case(case)
+            got.head()  # force execution for runtime failures
+        return
+    check_case(case)
+
+
+@pytest.mark.parametrize("path,cid", _params(WROW, list(range(0, 23))))
+def test_window_row_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(WRANGE, list(range(0, 20))))
+def test_window_row_range_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(WMAX, list(range(0, 10))))
+def test_maxsize_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+WUNION = "/root/reference/cases/function/window/test_window_union.yaml"
+WECT = ("/root/reference/cases/function/window/"
+        "test_window_exclude_current_time.yaml")
+LJSIMPLE = "/root/reference/cases/function/join/test_lastjoin_simple.yaml"
+
+
+@pytest.mark.parametrize("path,cid", _params(WUNION, list(range(0, 12))))
+def test_window_union_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(WECT, list(range(0, 8))))
+def test_window_ect_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(LJSIMPLE, list(range(0, 12))))
+def test_lastjoin_simple_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)

@@ -601,15 +601,27 @@ def _q_window_open_preceding(sf_dir):
 
 
 def _q_window_inw(sf_dir):
-    """INSTANCE_NOT_IN_WINDOW == SQL EXCLUDE CURRENT ROW when ts are
-    unique (prior peers remain either way)."""
+    """INSTANCE_NOT_IN_WINDOW: only WINDOW UNION rows + the instance
+    itself form the frame (runner.cc:575-578, 1003-1005) — proven by
+    cases/function/select/test_sub_select.yaml id 8. Union side = the
+    'click' subset of events; oracle = correlated subquery over that
+    subset plus the instance row."""
     from openmldb_ray.window import Agg, WindowSpec, window_agg
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
     spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US,
                       instance_not_in_window=True)
-    return window_agg(ev, spec, [Agg("sum", "value", "s"),
-                                 Agg("count", None, "n")],
-                      passthrough=["event_id", "user_id", "ts"])
+    out = window_agg(ev, spec, [Agg("sum", "value", "s"),
+                                Agg("count", None, "n")],
+                     union_ds=[clicks],
+                     passthrough=["event_id", "user_id", "ts"])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        # prefix-sum evaluation vs DuckDB's direct sum differ in ulps
+        return t.set_column(t.column_names.index("s"), "s",
+                            pc.round(t["s"], ndigits=4))
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def _q_window_distinct(sf_dir):
@@ -941,12 +953,18 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN (INTERVAL 1 HOUR - INTERVAL 1
                        MICROSECOND) PRECEDING AND CURRENT ROW)""",
         "window_inw": """
-          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
-                 count(*) OVER w AS n
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                       AND CURRENT ROW EXCLUDE CURRENT ROW)""",
+          -- INW frame = instance row + union ('click') rows in range
+          SELECT e.event_id, e.user_id, e.ts,
+            round(e.value + coalesce((
+              SELECT sum(u.value) FROM events u
+              WHERE u.event_type = 'click' AND u.user_id = e.user_id
+                AND u.ts >= e.ts - INTERVAL 1 HOUR AND u.ts <= e.ts),
+              0), 4) AS s,
+            1 + (SELECT count(*) FROM events u
+                 WHERE u.event_type = 'click' AND u.user_id = e.user_id
+                   AND u.ts >= e.ts - INTERVAL 1 HOUR
+                   AND u.ts <= e.ts) AS n
+          FROM events e""",
         "window_concat_keys": """
           SELECT event_id, user_id, ts,
             sum(value) OVER wu AS su, count(*) OVER wt AS ct

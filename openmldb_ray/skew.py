@@ -197,7 +197,7 @@ def salted_window_agg(
         salt = np.zeros(len(ts), dtype=np.int32)
         out_idx = [np.arange(len(ts))]
         out_salt = [salt]
-        out_tag = [np.ones(len(ts), dtype=np.int8)]
+        out_tag = [np.zeros(len(ts), dtype=np.int8)]  # primary tag 0
         for k, bnds in bd.items():
             rows = np.flatnonzero(keys_np == k)
             if len(rows) == 0:
@@ -216,7 +216,7 @@ def salted_window_agg(
                 if len(need):
                     out_idx.append(need)
                     out_salt.append(np.full(len(need), q, dtype=np.int32))
-                    out_tag.append(np.zeros(len(need), dtype=np.int8))
+                    out_tag.append(np.full(len(need), -1, dtype=np.int8))
         idx = np.concatenate(out_idx)
         t = b.take(pa.array(idx))
         t = t.append_column("__salt__", pa.array(np.concatenate(out_salt)))

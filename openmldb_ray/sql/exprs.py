@@ -21,14 +21,43 @@ from openmldb_ray.sql.ast import (Between, BinOp, Case, Cast, Col, Func,
 
 _CAST_TYPES = {
     "BIGINT": pa.int64(), "INT8": pa.int64(), "LONG": pa.int64(),
+    "INT64": pa.int64(),
     "INTEGER": pa.int32(), "INT": pa.int32(), "INT4": pa.int32(),
-    "SMALLINT": pa.int16(), "INT2": pa.int16(),
+    "INT32": pa.int32(),
+    "SMALLINT": pa.int16(), "INT2": pa.int16(), "INT16": pa.int16(),
     "DOUBLE": pa.float64(), "FLOAT8": pa.float64(), "REAL": pa.float32(),
     "FLOAT": pa.float32(),
     "VARCHAR": pa.string(), "STRING": pa.string(), "TEXT": pa.string(),
     "TIMESTAMP": pa.timestamp("us"), "DATE": pa.date32(),
     "BOOLEAN": pa.bool_(), "BOOL": pa.bool_(),
 }
+
+
+# The reference parses timestamp(str) wall-clock strings in the server
+# timezone; its conformance cases were authored at UTC+8
+# (cases/function/window/test_window_union.yaml 14-3: '2020-05-29
+# 15:56:33' == 1590738993000 ms). OpenMLDB-dialect TIMESTAMP casts
+# yield epoch-ms int64 (the reference's storage type).
+OPENMLDB_TZ_OFFSET_MS = 8 * 3_600_000
+
+
+def _ts_ms(v):
+    """OpenMLDB-dialect timestamp(): -> epoch milliseconds (int64)."""
+    if isinstance(v, str):
+        parsed = pc.strptime(pa.array([v]), format="%Y-%m-%d %H:%M:%S",
+                             unit="ms", error_is_null=True)
+        return pa.scalar(parsed.cast(pa.int64())[0].as_py()
+                         - OPENMLDB_TZ_OFFSET_MS, pa.int64())
+    if isinstance(v, (int, np.integer)):
+        return pa.scalar(int(v), pa.int64())
+    if pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
+        parsed = pc.strptime(v, format="%Y-%m-%d %H:%M:%S", unit="ms",
+                             error_is_null=True)
+        return pc.subtract(parsed.cast(pa.int64()),
+                           pa.scalar(OPENMLDB_TZ_OFFSET_MS, pa.int64()))
+    if pa.types.is_timestamp(v.type):
+        return pc.cast(v, pa.timestamp("ms")).cast(pa.int64())
+    return pc.cast(v, pa.int64())
 
 
 def _num(a):
@@ -205,6 +234,8 @@ def eval_expr(e, tbl: pa.Table):
         return result
     if isinstance(e, Cast):
         v = eval_expr(e.e, tbl)
+        if e.type == "TIMESTAMP_MS":
+            return _ts_ms(v)
         ty = _CAST_TYPES.get(e.type)
         if ty is None:
             raise ValueError(f"unsupported cast type {e.type}")
@@ -215,6 +246,12 @@ def eval_expr(e, tbl: pa.Table):
             return pa.scalar(_dt.date.fromisoformat(v), ty)
         if not hasattr(v, "type"):
             return pa.scalar(v, ty)
+        if pa.types.is_floating(v.type) and pa.types.is_integer(ty):
+            # reference int(float) truncates toward zero (int(20.1)=20)
+            return pc.cast(pc.trunc(v), ty, safe=False)
+        if pa.types.is_string(v.type) and pa.types.is_timestamp(ty):
+            return pc.strptime(v, format="%Y-%m-%d %H:%M:%S", unit="us",
+                               error_is_null=True)
         return pc.cast(v, ty)
     if isinstance(e, Func):
         funcs = _sql_funcs()

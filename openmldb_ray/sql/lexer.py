@@ -23,7 +23,7 @@ KEYWORDS = {
 
 # multi-char operators first
 _OPS = ["<>", "!=", ">=", "<=", "||", "==", "=", "<", ">", "+", "-",
-        "*", "/", "%", "(", ")", ",", ".", ";"]
+        "*", "/", "%", "(", ")", ",", ".", ";", "!"]
 
 _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
             "d": 86_400_000_000}
@@ -47,6 +47,13 @@ def tokenize(text: str) -> list[Tok]:
         if text.startswith("--", i):
             j = text.find("\n", i)
             i = n if j < 0 else j + 1
+            continue
+        if c == "`":  # backtick-quoted identifier
+            j = text.find("`", i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated quoted identifier at {i}")
+            toks.append(Tok("IDENT", text[i + 1:j], i))
+            i = j + 1
             continue
         if c in "'\"":
             q = c
@@ -93,6 +100,13 @@ def tokenize(text: str) -> list[Tok]:
                 i = j + 1
                 continue
             lit = text[i:j]
+            # float-typed literal suffix: 0.0f / 1F (HybridSQL)
+            if j < n and text[j] in "fF" and (
+                    j + 1 >= n or not (text[j + 1].isalnum()
+                                       or text[j + 1] == "_")):
+                toks.append(Tok("NUM", float(lit), i))
+                i = j + 1
+                continue
             toks.append(Tok("NUM", float(lit) if isfloat else int(lit), i))
             i = j
             continue

@@ -17,6 +17,11 @@ from openmldb_ray.sql.ast import (Between, BinOp, Bound, Case, Cast, Col,
                                   TableRef, UnOp, WinCall, WindowDef)
 from openmldb_ray.sql.lexer import Tok, tokenize
 
+# function-style cast names (udfs_8h.md: bigint/int/smallint/float/
+# double/string/bool; date/timestamp handled in the keyword branch)
+_CAST_FUNCS = {"BIGINT", "INT", "INT16", "INT32", "INT64", "SMALLINT",
+               "STRING", "FLOAT", "DOUBLE", "BOOL"}
+
 _INTERVAL_US = {"MICROSECOND": 1, "MICROSECONDS": 1,
                 "MILLISECOND": 1_000, "MILLISECONDS": 1_000,
                 "SECOND": 1_000_000, "SECONDS": 1_000_000,
@@ -303,7 +308,7 @@ class Parser:
         return e
 
     def not_expr(self):
-        if self.eat_kw("NOT"):
+        if self.eat_kw("NOT") or self.eat_op("!"):
             return UnOp("NOT", self.not_expr())
         return self.cmp_expr()
 
@@ -418,6 +423,11 @@ class Parser:
                 return Interval(int(n.val) * _INTERVAL_US[u])
             if t.val in ("TIMESTAMP", "DATE"):
                 self.next()
+                if self.at_op("("):  # function-style cast: date("..")
+                    self.next()
+                    e = self.expr()
+                    self.expect_op(")")
+                    return Cast(e, t.val)
                 lit = self.next()
                 return Cast(Lit(lit.val), t.val)
             if t.val == "CASE":
@@ -463,6 +473,10 @@ class Parser:
                         raise ValueError("expected NULLS after IGNORE")
                     ignore_nulls = True
                 self.expect_op(")")
+                # HybridSQL function-style casts: bigint(x), int(x), ...
+                if (name.upper() in _CAST_FUNCS and len(args) == 1
+                        and not distinct):
+                    return Cast(args[0], name.upper())
                 return Func(name.lower(), args, distinct, ignore_nulls)
             if self.at_op(".") :
                 self.next()

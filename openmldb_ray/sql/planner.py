@@ -93,6 +93,13 @@ class Planner:
 
     # ----------------------------------------------------------- entry
     def plan(self, sel: Select) -> ray.data.Dataset:
+        if self.dialect == "openmldb":
+            # OpenMLDB TIMESTAMP is epoch-ms int64 (the reference's
+            # storage type); timestamp()/cast-as-timestamp yield ms
+            from openmldb_ray.sql.ast import Cast
+            for c in collect(sel, Cast):
+                if c.type == "TIMESTAMP":
+                    c.type = "TIMESTAMP_MS"
         if sel.ctes:
             # CTEs become planned datasets in a scoped catalog layer
             scoped = dict(self.catalog.tables)
@@ -130,7 +137,9 @@ class Planner:
         agg_calls: list[tuple[str, Func]] = []
         out_items: list[SelectItem] = []
         for it, name in zip(sel.items, out_names):
-            expr, wcs, acs = self._extract(it.expr, bool(sel.group_by))
+            # agg-named funcs outside OVER are grouping aggregates even
+            # without GROUP BY (global aggregate, one output row)
+            expr, wcs, acs = self._extract(it.expr, True)
             win_calls.extend(wcs)
             agg_calls.extend(acs)
             out_items.append(SelectItem(expr, name, it.text))
@@ -157,7 +166,10 @@ class Planner:
                 desc.append(d)
             ds = ds.sort(keys, descending=desc)
         if sel.limit is not None:
-            ds = ds.limit(sel.limit)
+            # OpenMLDB LIMIT 0 means "no limit"
+            # (select/test_select_sample.yaml id 12); ANSI returns 0 rows
+            if not (self.dialect == "openmldb" and sel.limit == 0):
+                ds = ds.limit(sel.limit)
         return ds
 
     # ----------------------------------------------------------- FROM
@@ -177,7 +189,8 @@ class Planner:
             right = self.plan(j.table.subquery)
         else:
             right = self.catalog.load(j.table.name, referenced)
-        rcols = set(right.schema().names)
+        rnames = list(right.schema().names)
+        rcols = set(rnames)
         r_alias = j.table.alias or j.table.name
 
         def side(c: Col) -> str:
@@ -209,24 +222,25 @@ class Planner:
             from openmldb_ray.joins.hash_join import hash_join
             out = hash_join(left, right, on=on, right_on=right_on,
                             how=j.kind)
-        elif j.kind == "asof_left":
-            if len(ineq) != 1:
-                raise ValueError("ASOF JOIN needs exactly one inequality")
-            a, b, op = ineq[0]
-            # normalize to left_ts >= right_ts
-            if op in (">=", ">"):
-                lts, rts = a, b
-            else:
-                lts, rts = b, a
-            if side(lts) != "l":
-                lts, rts = rts, lts
+        elif j.kind in ("asof_left", "last"):
             from openmldb_ray.joins import last_join
-            out = last_join(left, right, on=on, right_on=right_on,
-                            order_by=rts.name, left_ts=lts.name)
-        elif j.kind == "last":
-            from openmldb_ray.joins import last_join
-            order_by = descending = None
-            if j.order_by is not None:
+            order_by = left_ts = None
+            descending = False
+            if j.kind == "asof_left" or ineq:
+                if len(ineq) != 1:
+                    raise ValueError(
+                        "point-in-time join needs exactly one "
+                        "inequality in ON")
+                a, b, op = ineq[0]
+                # normalize to left_ts >= right_ts
+                if op in (">=", ">"):
+                    lts, rts = a, b
+                else:
+                    lts, rts = b, a
+                if side(lts) != "l":
+                    lts, rts = rts, lts
+                order_by, left_ts = rts.name, lts.name
+            if j.kind == "last" and j.order_by is not None:
                 order_by = j.order_by[0].name
                 descending = j.order_by[1]
                 rsch = right.schema()
@@ -238,17 +252,23 @@ class Planner:
                         f"type {t}; the reference requires an integer "
                         "or timestamp order key "
                         "(test_lastjoin_simple.yaml ids 7-10)")
+            # the reference's LAST JOIN emits right key columns too
+            # (select * / {1}.key are addressable) — carry ALL right
+            # columns as payload; collisions get the "_r" suffix
+            payload = rnames if j.kind == "last" else None
             out = last_join(left, right, on=on, right_on=right_on,
-                            order_by=order_by,
-                            descending=bool(descending))
+                            order_by=order_by, left_ts=left_ts,
+                            descending=bool(descending),
+                            payload=payload)
         else:
             raise NotImplementedError(j.kind)
         if scopes is not None and r_alias:
-            # how the joins name right columns: keys fold into the left
-            # key columns; payload collisions get the "_r" suffix
+            # how the joins name right columns: payload collisions get
+            # the "_r" suffix; keys not carried fold into the left key
+            keys_carried = j.kind == "last"
             ren = {}
             for c in rcols:
-                if c in right_on:
+                if c in right_on and not keys_carried:
                     ren[c] = on[right_on.index(c)]
                 elif c in lcols:
                     ren[c] = c + "_r"
@@ -266,6 +286,14 @@ class Planner:
 
         def walk(x):
             if isinstance(x, WinCall):
+                if x.func.name == "identity":
+                    # identity(expr) OVER w: the reference evaluates a
+                    # row expression whose nested window funcs bind to
+                    # w (test_window_union.yaml id 16). Lift each
+                    # nested window-func call to its own WinCall over
+                    # the same window; the wrapper becomes a plain
+                    # post-window projection.
+                    return walk(_bind_window(x.func.args[0], x))
                 nm = self._name("w")
                 wins.append((nm, x))
                 return Col(nm)
@@ -321,7 +349,12 @@ class Planner:
                          else None)
             for tref in wd.union_tables:
                 if tref.subquery is not None:
-                    union_ds.append(self.plan(tref.subquery))
+                    # pad/cast the union subquery to the primary's
+                    # schema: union rows only FEED frames (never emit),
+                    # so columns they lack — e.g. features computed by
+                    # an earlier window stage — ride as typed nulls
+                    union_ds.append(_pad_to_schema(
+                        self.plan(tref.subquery), schema))
                     continue
                 # the reference requires FULL schema equality between
                 # the primary and every union table
@@ -479,6 +512,9 @@ class Planner:
             if name == "count" and fn.distinct:
                 aggs.append(Agg("distinct_count", argcol(fn.args[0]), nm))
                 continue
+            if name in ("distinct_count", "top1_ratio"):
+                aggs.append(Agg(name, argcol(fn.args[0]), nm))
+                continue
             if name in ("top", "topn_frequency"):
                 k = int(const_eval(fn.args[1]))
                 aggs.append(Agg(name, argcol(fn.args[0]), nm, k=k))
@@ -531,11 +567,19 @@ class Planner:
                 col = self._name("ga")
                 derived[col] = a
             plan[nm] = (kind, col)
+        if not keys:
+            # global aggregate: one output row — synthesize a constant
+            # group key (the partial-combine path still applies)
+            from openmldb_ray.sql.ast import Lit
+            derived["__gall__"] = Lit(1)
+            keys = ["__gall__"]
+            drop_key = True
+        else:
+            drop_key = False
         if derived:
             ds = _add_columns(ds, derived)
-        if not keys:
-            raise NotImplementedError("global aggregate without GROUP BY")
-        return grouped_aggregate(ds, keys, plan)
+        out = grouped_aggregate(ds, keys, plan)
+        return out.drop_columns(["__gall__"]) if drop_key else out
 
     # ----------------------------------------------------------- project
     def _out_name(self, it: SelectItem) -> str:
@@ -549,6 +593,15 @@ class Planner:
         if len(items) == 1 and isinstance(items[0].expr, Star):
             return ds
         names = [self._out_name(it) for it in items]
+        # duplicate output names (select a.c1, b.c1) break Ray's block
+        # schema handling — disambiguate with a strippable marker
+        seen: dict = {}
+        for i, n in enumerate(names):
+            if n in seen:
+                seen[n] += 1
+                names[i] = f"{n}__dup{seen[n]}__"
+            else:
+                seen[n] = 0
         exprs = [it.expr for it in items]
         star = any(isinstance(e, Star) for e in exprs)
 
@@ -562,7 +615,11 @@ class Planner:
                             cols.append(t[c])
                     continue
                 v = eval_expr(e, t)
-                if not hasattr(v, "type"):
+                if isinstance(v, pa.Scalar):
+                    v = pa.nulls(t.num_rows, v.type) if v.as_py() is None \
+                        else pa.array([v.as_py()] * t.num_rows,
+                                      type=v.type)
+                elif not hasattr(v, "type"):
                     v = pa.array([v] * t.num_rows)
                 ns.append(n)
                 cols.append(v)
@@ -570,6 +627,56 @@ class Planner:
         fn.__name__ = "sql_project"
         return ds.map_batches(fn, batch_format="pyarrow") if not star \
             else ds.map_batches(fn, batch_format="pyarrow")
+
+
+_WINDOW_FUNC_NAMES = (_WIN_DIRECT
+                      | {"last_value", "distinct_count", "top1_ratio"}
+                      | {f + "_where" for f in
+                         ("sum", "count", "min", "max", "avg")})
+
+
+def _bind_window(e, wc: WinCall):
+    """Rewrite bare window-func calls inside ``e`` to WinCalls bound
+    to ``wc``'s window (identity(...) OVER w lifting)."""
+    import copy
+    if isinstance(e, Func) and e.name in _WINDOW_FUNC_NAMES:
+        return WinCall(e, wc.window, wc.inline)
+    if hasattr(e, "__dataclass_fields__"):
+        e = copy.copy(e)
+        for f in e.__dataclass_fields__:
+            v = getattr(e, f)
+            if isinstance(v, list):
+                setattr(e, f, [
+                    tuple(_bind_window(t, wc) for t in it)
+                    if isinstance(it, tuple) else _bind_window(it, wc)
+                    for it in v])
+            elif isinstance(v, tuple):
+                setattr(e, f, tuple(_bind_window(t, wc) for t in v))
+            elif hasattr(v, "__dataclass_fields__"):
+                setattr(e, f, _bind_window(v, wc))
+        return e
+    return e
+
+
+def _pad_to_schema(ds, schema) -> ray.data.Dataset:
+    """Conform ``ds`` to the (Ray) schema: add missing columns as
+    typed nulls, cast type mismatches, order columns identically."""
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+
+    def fn(b: pa.Table) -> pa.Table:
+        cols = {}
+        for n in names:
+            if n in b.column_names:
+                col = b[n]
+                if col.type != types[n]:
+                    col = col.cast(types[n])
+                cols[n] = col
+            else:
+                cols[n] = pa.nulls(b.num_rows, types[n])
+        return pa.table(cols)
+    fn.__name__ = "pad_to_schema"
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _filter(ds, cond):

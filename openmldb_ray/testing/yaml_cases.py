@@ -57,14 +57,35 @@ def _coerce(v, t: pa.DataType):
     return v
 
 
-def _build_table(spec: dict) -> pa.Table:
+def _parse_spec(spec: dict):
+    """Normalize the reference's table-spec formats: ``columns`` (list
+    of "name type") or ``schema`` ("name:type,..."), with row data as
+    ``rows`` (list of lists) or ``data`` (CSV string)."""
     names, types = [], []
-    for col in spec["columns"]:
-        n, t = col.rsplit(" ", 1)
-        names.append(n.strip())
-        types.append(_TYPES[t.strip().lower()])
+    if "schema" in spec:
+        for col in spec["schema"].split(","):
+            n, t = col.strip().split(":")
+            names.append(n.strip())
+            types.append(_TYPES[t.strip().lower()])
+    else:
+        for col in spec["columns"]:
+            n, t = col.rsplit(" ", 1)
+            names.append(n.strip())
+            types.append(_TYPES[t.strip().lower()])
+    if "data" in spec:
+        rows = [[c.strip() for c in line.split(",")]
+                for line in str(spec["data"]).strip().splitlines()]
+        rows = [[None if c in ("null", "NULL", "") else c for c in r]
+                for r in rows]
+    else:
+        rows = spec["rows"]
+    return names, types, rows
+
+
+def _build_table(spec: dict) -> pa.Table:
+    names, types, rows = _parse_spec(spec)
     cols = {n: [] for n in names}
-    for row in spec["rows"]:
+    for row in rows:
         for n, t, v in zip(names, types, row):
             cols[n].append(_coerce(v, t))
     return pa.table({n: pa.array(cols[n], type=t)
@@ -99,26 +120,22 @@ def run_case(case: dict, num_buckets: int = 2):
 
 def check_case(case: dict) -> None:
     got, expect = run_case(case)
-    enames, etypes = [], []
-    for col in expect["columns"]:
-        n, t = col.rsplit(" ", 1)
-        enames.append(n.strip())
-        etypes.append(_TYPES[t.strip().lower()])
+    enames, etypes, rows = _parse_spec(expect)
     order = expect.get("order")
     if order:
         got = got.sort_values(order, kind="stable")
     got = got.reset_index(drop=True)
 
     def norm(n: str) -> str:  # reference prints 'sum(c4)over w1'
+        import re
+        n = re.sub(r"__dup\d+__$", "", n)  # planner dedup marker
         return n.replace(" ", "").lower()
     assert [norm(c) for c in got.columns] == [norm(c) for c in enames], \
         (list(got.columns), enames)
-    got.columns = enames
-    rows = expect["rows"]
     assert len(got) == len(rows), (len(got), len(rows))
     for ri, row in enumerate(rows):
-        for n, t, v in zip(enames, etypes, row):
-            g = got[n].iloc[ri]
+        for ci, (n, t, v) in enumerate(zip(enames, etypes, row)):
+            g = got.iloc[ri, ci]  # positional: duplicate names happen
             e = _coerce(v, t)
             if e is None:
                 assert g is None or (isinstance(g, float) and math.isnan(g)) \

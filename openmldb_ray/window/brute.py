@@ -19,29 +19,45 @@ import numpy as np
 from openmldb_ray.window.spec import Agg, WindowSpec
 
 
-def _frame_indices(i, ts, spec: WindowSpec):
+def _buffer(i, ts, spec: WindowSpec, is_primary):
+    """Run indices buffered when instance i is evaluated, in buffer
+    order. Under INSTANCE_NOT_IN_WINDOW the primary table never feeds
+    the buffer (runner.cc:575-578) — only union rows + the instance
+    itself (buffered then popped, runner.cc:1003-1005). EXCLUDE
+    CURRENT_TIME drops ts-peers from the buffer before any rows-count
+    bound or lag offset applies (test_window_union.yaml 18-4/18-5)."""
+    if spec.instance_not_in_window:
+        hist = [j for j in range(i)
+                if is_primary is None or not is_primary[j]]
+    else:
+        hist = list(range(i))
+    if spec.exclude_current_time:
+        hist = [j for j in hist if ts[j] != ts[i]]
+    return hist + [i]
+
+
+def _frame_indices(i, ts, spec: WindowSpec, is_primary=None):
     """Indices (ascending buffer order) forming row i's frame."""
     t = ts[i]
+    buf = _buffer(i, ts, spec, is_primary)
+    npos = len(buf) - 1  # instance's buffer position
     members = []
-    for j in range(i + 1):  # only rows buffered at/before instance i
+    for bp, j in enumerate(buf):
         if j == i:
             # current row membership
-            if spec.instance_not_in_window:
-                continue
             if spec.end_offset_range > 0 or spec.end_offset_rows > 0:
                 continue
-            members.append(j)
+            members.append((bp, j))
             continue
-        # end bound: too-recent history excluded
+        # end bound: too-recent history excluded (buffer distance for
+        # rows offsets)
         if spec.end_offset_range > 0 and ts[j] > t - spec.end_offset_range:
             continue
-        if spec.end_offset_rows > 0 and j > i - spec.end_offset_rows:
+        if spec.end_offset_rows > 0 and (npos - bp) < spec.end_offset_rows:
             continue
-        if spec.exclude_current_time and ts[j] == t:
-            continue
-        members.append(j)
+        members.append((bp, j))
     # start bound: union of rows / range frames
-    def in_start(j):
+    def in_start(bp, j):
         ok = False
         if spec.preceding_range is not None:
             if spec.open_preceding:
@@ -50,10 +66,10 @@ def _frame_indices(i, ts, spec: WindowSpec):
                 ok = ok or ts[j] >= t - spec.preceding_range
         if spec.preceding_rows is not None:
             lim = spec.preceding_rows - (1 if spec.open_preceding else 0)
-            ok = ok or (i - j) <= lim
+            ok = ok or (npos - bp) <= lim
         return ok
 
-    members = [j for j in members if j == i or in_start(j)]
+    members = [j for bp, j in members if j == i or in_start(bp, j)]
     if spec.max_size and len(members) > spec.max_size:
         members = members[-spec.max_size:]  # evict oldest first
     return members
@@ -73,14 +89,16 @@ def eval_brute(
     for i in range(n):
         if not is_primary[i]:
             continue
-        idxs = _frame_indices(i, ts, spec)
+        idxs = _frame_indices(i, ts, spec, is_primary)
         for a in aggs:
             f = a.func
             base = f[:-6] if f.endswith("_where") else f
             if base in ("lag", "at"):
-                p = i - a.k
-                frame_ok = p in idxs or (p == i and i in idxs)
-                out[a.name][i] = values[a.col][p] if (p >= 0 and frame_ok) else np.nan
+                buf = _buffer(i, ts, spec, is_primary)
+                pb = len(buf) - 1 - a.k  # k buffer rows before instance
+                p = buf[pb] if pb >= 0 else -1
+                frame_ok = p >= 0 and p in idxs
+                out[a.name][i] = values[a.col][p] if frame_ok else np.nan
                 continue
             if base == "first_value":
                 out[a.name][i] = values[a.col][idxs[-1]] if idxs else np.nan

@@ -13,8 +13,11 @@ over sorted numpy arrays instead of a row-at-a-time deque:
   ``[start_i, hist_end_i)`` plus, optionally, row *i* itself
   (``self_in``) — this representation captures every reference quirk:
   EXCLUDE CURRENT_TIME removes ts-peers but keeps the current row
-  (mem_catalog.h:459-468), INSTANCE_NOT_IN_WINDOW evaluates but never
-  buffers the current row (runner.cc:1003-1005), end offsets
+  (mem_catalog.h:459-468), INSTANCE_NOT_IN_WINDOW restricts the
+  buffered history to WINDOW UNION rows — the primary table is never
+  added as a union source (runner.cc:575-578) and the instance row is
+  buffered for its own frame then popped (runner.cc:1003-1005) — so
+  frame(i) = {i} ∪ {union rows in range}, end offsets
   (``BETWEEN .. AND t PRECEDING``) exclude too-recent rows including
   the current one (mem_catalog.h:414-428), MAXSIZE evicts oldest first
   (mem_catalog.h:430-457).
@@ -37,18 +40,31 @@ _NULL_INT = np.iinfo(np.int64).min
 def frame_bounds(ts: np.ndarray, spec: WindowSpec):
     """Per-row frame bounds over one ascending-sorted run.
 
-    Returns ``(start, hist_end, self_in)``:
-      frame(i) = indices [start[i], hist_end[i]) ∪ ({i} if self_in[i]).
+    Returns ``(start, hist_end, self_in, base)``:
+      frame(i) = indices [start[i], hist_end[i]) ∪ ({i} if self_in[i]);
+      ``base[i]`` is row i's position in its own (ECT-filtered) buffer,
+      used by buffer-offset functions (lag/at).
     """
     n = len(ts)
     idx = np.arange(n, dtype=np.int64)
+    # EXCLUDE CURRENT_TIME removes ts-peers from the buffer BEFORE
+    # rows-count bounds and lag offsets apply (test_window_union.yaml
+    # ids 18-4/18-5: 'ROWS 2 preceding EXCLUDE CURRENT_TIME' takes the
+    # 2 newest NON-peer rows). The peer-free history of a ts-sorted run
+    # is the contiguous prefix [0, tie_start), so `base` — the
+    # instance's position in its own (filtered) buffer — is tie_start
+    # under ECT and the run index otherwise.
+    if spec.exclude_current_time:
+        base = np.searchsorted(ts, ts, side="left")
+    else:
+        base = idx
 
     starts = []
     if spec.preceding_range is not None:
         side = "right" if spec.open_preceding else "left"
         starts.append(np.searchsorted(ts, ts - spec.preceding_range, side=side))
     if spec.preceding_rows is not None:
-        rs = idx - spec.preceding_rows
+        rs = base - spec.preceding_rows
         if spec.open_preceding:
             rs += 1
         starts.append(np.maximum(rs, 0))
@@ -60,26 +76,74 @@ def frame_bounds(ts: np.ndarray, spec: WindowSpec):
         end = np.searchsorted(ts, ts - spec.end_offset_range, side="right")
         self_in = np.zeros(n, dtype=bool)
     elif spec.end_offset_rows > 0:
-        end = np.maximum(idx - spec.end_offset_rows + 1, 0)
+        end = np.maximum(base - spec.end_offset_rows + 1, 0)
         self_in = np.zeros(n, dtype=bool)
     else:
-        end = idx + 1
+        end = base + 1
         self_in = np.ones(n, dtype=bool)
-        if spec.instance_not_in_window:
-            self_in[:] = False
 
-    if spec.exclude_current_time:
-        tie_start = np.searchsorted(ts, ts, side="left")
-        hist_end = np.minimum(end, tie_start)
-    else:
-        hist_end = np.minimum(end, idx)  # history part never includes self
+    hist_end = np.minimum(end, base)  # history never includes self/peers
     hist_end = np.maximum(hist_end, start)
 
     if spec.max_size and spec.max_size > 0:
         cap = spec.max_size - self_in.astype(np.int64)
         start = np.maximum(start, hist_end - np.maximum(cap, 0))
 
-    return start, hist_end, self_in
+    return start, hist_end, self_in, base
+
+
+def _inw_bounds(ts: np.ndarray, spec: WindowSpec, is_union: np.ndarray):
+    """Frame bounds under INSTANCE_NOT_IN_WINDOW with union rows.
+
+    The buffer of instance *i* holds only union rows sorted before it
+    (union rows tie-break before primary rows at equal ts) plus the
+    instance itself. Returned ``start``/``hist_end`` index the
+    union-only subarray (u-space); ``self_in`` follows the normal
+    current-row rules.
+    """
+    n = len(ts)
+    ts_u = ts[is_union]
+    if spec.exclude_current_time:
+        # peer-free u-space history is the prefix [0, tie_start)
+        base = np.searchsorted(ts_u, ts, side="left")
+    else:
+        # buffer position of each row = number of union rows before it
+        base = np.concatenate(
+            ([0], np.cumsum(is_union.astype(np.int64))))[:-1]
+
+    starts = []
+    if spec.preceding_range is not None:
+        side = "right" if spec.open_preceding else "left"
+        starts.append(np.searchsorted(ts_u, ts - spec.preceding_range,
+                                      side=side))
+    if spec.preceding_rows is not None:
+        rs = base - spec.preceding_rows
+        if spec.open_preceding:
+            rs += 1
+        starts.append(np.maximum(rs, 0))
+    start = starts[0] if len(starts) == 1 else np.minimum(starts[0],
+                                                          starts[1])
+    start = np.maximum(start, 0)
+
+    if spec.end_offset_range > 0:
+        end = np.searchsorted(ts_u, ts - spec.end_offset_range,
+                              side="right")
+        self_in = np.zeros(n, dtype=bool)
+    elif spec.end_offset_rows > 0:
+        end = np.maximum(base - spec.end_offset_rows + 1, 0)
+        self_in = np.zeros(n, dtype=bool)
+    else:
+        end = base
+        self_in = np.ones(n, dtype=bool)
+
+    hist_end = np.minimum(end, base)
+    hist_end = np.maximum(hist_end, start)
+
+    if spec.max_size and spec.max_size > 0:
+        cap = spec.max_size - self_in.astype(np.int64)
+        start = np.maximum(start, hist_end - np.maximum(cap, 0))
+
+    return start, hist_end, self_in, base
 
 
 # ---------------------------------------------------------------- range min/max
@@ -147,13 +211,18 @@ def _fmt(x) -> str:
     return f"{f:g}"
 
 
-def _frame_items(v: np.ndarray, start, hist_end, self_in, i) -> list:
+def _frame_items(hv: np.ndarray, start, hist_end, self_in, i,
+                 sv: np.ndarray) -> list:
     """Non-null frame values of row i as a python list (slow path for
-    string-emitting aggs; frames are short by construction)."""
-    sl = v[start[i]:hist_end[i]]
+    string-emitting aggs; frames are short by construction).
+
+    ``hv`` is the history array (union-only under INW), indexed by
+    ``start``/``hist_end``; ``sv`` the full-run array for the row's
+    own value."""
+    sl = hv[start[i]:hist_end[i]]
     items = [x for x in sl.tolist() if not _isnull(x)]
-    if self_in[i] and not _isnull(v[i]):
-        items.append(v[i])
+    if self_in[i] and not _isnull(sv[i]):
+        items.append(sv[i])
     return items
 
 
@@ -177,10 +246,22 @@ def eval_aggs(
     non-primary rows out).
     """
     n = len(ts)
-    start, hist_end, self_in = frame_bounds(ts, spec)
+    inw = spec.instance_not_in_window
+    if inw and is_primary is not None and not is_primary.all():
+        # history = union rows only (u-space); self from the full run
+        is_union = ~is_primary
+        hvalues = {c: v[is_union] for c, v in values.items()}
+        start, hist_end, self_in, bpos = _inw_bounds(ts, spec, is_union)
+    else:
+        start, hist_end, self_in, bpos = frame_bounds(ts, spec)
+        if inw:
+            # no union rows in this run: the buffer holds only the
+            # instance itself
+            hist_end = start.copy()
+        hvalues = values
     out: dict[str, np.ndarray] = {}
 
-    # cache prefix structures per (col, where) pair
+    # cache prefix structures per (col, where) pair (over history arrays)
     pref_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
     def notnull(v: np.ndarray) -> np.ndarray:
@@ -193,10 +274,10 @@ def eval_aggs(
     def prefixes(col: str, where: str | None):
         key = (col, where)
         if key not in pref_cache:
-            v = values[col]
+            v = hvalues[col]
             ok = notnull(v)
             if where is not None:
-                ok = ok & values[where].astype(bool)
+                ok = ok & hvalues[where].astype(bool)
             filled = np.where(ok, v, 0.0) if v.dtype != object else None
             psum = (np.concatenate(([0.0], np.cumsum(filled)))
                     if filled is not None else None)
@@ -204,19 +285,20 @@ def eval_aggs(
             pref_cache[key] = (psum, pcnt)
         return pref_cache[key]
 
-    def masked_vals(col: str, where: str | None):
-        v = values[col]
+    def masked_vals(vals: dict, col: str, where: str | None):
+        v = vals[col]
         if where is None:
             return v
         if v.dtype == object:
-            return np.where(values[where].astype(bool), v, None)
-        return np.where(values[where].astype(bool), v, np.nan)
+            return np.where(vals[where].astype(bool), v, None)
+        return np.where(vals[where].astype(bool), v, np.nan)
 
     def where_items(col: str, where: str | None, i) -> list:
         """Non-null (+ where-passing) frame values of row i (generic
         slow path — strings and numerics)."""
-        v = masked_vals(col, where)
-        return _frame_items(v, start, hist_end, self_in, i)
+        hv = masked_vals(hvalues, col, where)
+        sv = hv if hvalues is values else masked_vals(values, col, where)
+        return _frame_items(hv, start, hist_end, self_in, i, sv)
 
     for a in aggs:
         f = {"fz_top1_ratio": "top1_ratio",
@@ -273,37 +355,41 @@ def eval_aggs(
             out[a.name] = res
         elif base in ("min", "max"):
             op = np.minimum if base == "min" else np.maximum
-            mv = masked_vals(a.col, where)
+            hmv = masked_vals(hvalues, a.col, where)
+            smv = hmv if hvalues is values \
+                else masked_vals(values, a.col, where)
             # NaNs poison the sparse table -> +/- inf sentinel; an
             # explicit valid-count decides nullity, so legitimate
             # infinite values survive (sentinel only wins when the
             # whole range is null)
             _, pcnt_mm = prefixes(a.col, where)
             sent = np.inf if base == "min" else -np.inf
-            mv_f = np.where(np.isnan(mv), sent, mv)
+            mv_f = np.where(np.isnan(hmv), sent, hmv)
             hist = _range_reduce(mv_f, start, hist_end, op)
             hist[(pcnt_mm[hist_end] - pcnt_mm[start]) == 0] = np.nan
-            selfv = np.where(self_in, mv, np.nan)
+            selfv = np.where(self_in, smv, np.nan)
             out[a.name] = _combine_self(hist, selfv, self_in, op)
         elif base == "distinct_count":
             v = values[a.col]
+            hv = hvalues[a.col]
             res = np.zeros(n, dtype=np.float64)
             for i in range(n):
-                res[i] = len(set(_frame_items(v, start, hist_end,
-                                              self_in, i)))
+                res[i] = len(set(_frame_items(hv, start, hist_end,
+                                              self_in, i, v)))
             out[a.name] = res
         elif base in ("lag", "at"):
             # value k buffer-rows before the current row, NULL outside the
             # frame (window_functions_def.cc:96-156; lag aliases at :146)
-            idx = np.arange(n, dtype=np.int64)
-            pos = idx - a.k
+            pos = bpos - a.k
             in_hist = (pos >= start) & (pos < hist_end)
-            is_self = (pos == idx) & self_in
-            ok = in_hist | is_self
             v = values[a.col]
+            hv = hvalues[a.col]
             res = (np.full(n, None, dtype=object) if v.dtype == object
                    else np.full(n, np.nan))
-            res[ok] = v[np.clip(pos[ok], 0, n - 1)]
+            if in_hist.any():
+                res[in_hist] = hv[pos[in_hist]]
+            if a.k == 0:
+                res[self_in] = v[self_in]
             out[a.name] = res
         elif base == "lead":
             # SQL lead: value k rows AFTER the current row within the
@@ -321,43 +407,53 @@ def eval_aggs(
         elif base == "first_value":
             # OpenMLDB quirk: first_value == at(col, 0) == NEWEST frame row
             # (window_functions_def.cc:154)
-            idx = np.arange(n, dtype=np.int64)
-            newest = np.where(self_in, idx, hist_end - 1)
-            ok = newest >= start
             v = values[a.col]
+            hv = hvalues[a.col]
             res = (np.full(n, None, dtype=object) if v.dtype == object
                    else np.full(n, np.nan))
-            res[ok] = v[np.clip(newest[ok], 0, n - 1)]
+            hsel = ~self_in & (hist_end > start)
+            if hsel.any():
+                res[hsel] = hv[hist_end[hsel] - 1]
+            res[self_in] = v[self_in]
             out[a.name] = res
         elif base == "last_value_ignore_nulls":
             # newest NON-NULL frame value (ANSI last_value IGNORE NULLS
             # over a history frame = forward fill) — vectorized running
             # maximum of valid indices
             v = values[a.col]
-            ok = notnull(v)
+            hv = hvalues[a.col]
+            hok = notnull(hv)
             if where is not None:
-                ok = ok & values[where].astype(bool)
-            idx = np.arange(n, dtype=np.int64)
-            running = np.maximum.accumulate(np.where(ok, idx, -1))
+                hok = hok & hvalues[where].astype(bool)
+            m = len(hv)
+            running = np.maximum.accumulate(
+                np.where(hok, np.arange(m, dtype=np.int64), -1)) \
+                if m else np.empty(0, dtype=np.int64)
             p_hist = np.where(hist_end > 0,
-                              running[np.maximum(hist_end - 1, 0)], -1)
+                              running[np.maximum(hist_end - 1, 0)]
+                              if m else -1, -1)
             p_hist = np.where((hist_end > 0) & (p_hist >= start),
                               p_hist, -1)
-            p_self = np.where(self_in & ok, idx, -1)
-            pick = np.maximum(p_hist, p_self)
             res = (np.full(n, None, dtype=object) if v.dtype == object
                    else np.full(n, np.nan))
-            got = pick >= 0
-            res[got] = v[pick[got]]
+            got = p_hist >= 0
+            if got.any():
+                res[got] = hv[p_hist[got]]
+            sok = self_in & notnull(v)
+            if where is not None:
+                sok = sok & values[where].astype(bool)
+            res[sok] = v[sok]  # the instance is always the newest row
             out[a.name] = res
         elif base == "last_value_in_frame":
             # oldest frame row (start index), standard-SQL first_value analog
-            ok = (hist_end > start) | self_in
-            oldest = np.where(hist_end > start, start, np.arange(n))
             v = values[a.col]
+            hv = hvalues[a.col]
             res = (np.full(n, None, dtype=object) if v.dtype == object
                    else np.full(n, np.nan))
-            res[ok] = v[np.clip(oldest[ok], 0, n - 1)]
+            res[self_in] = v[self_in]
+            hsel = hist_end > start
+            if hsel.any():
+                res[hsel] = hv[start[hsel]]
             out[a.name] = res
         elif base == "row_number":
             if is_primary is None:
@@ -370,18 +466,20 @@ def eval_aggs(
             # top k values, DESC, comma-joined (TopKContainer::OutputString,
             # hybridse/src/udf/containers.h:99-137 iterates map_ reversed)
             v = values[a.col]
+            hv = hvalues[a.col]
             res = np.empty(n, dtype=object)
             for i in range(n):
-                items = _frame_items(v, start, hist_end, self_in, i)
+                items = _frame_items(hv, start, hist_end, self_in, i, v)
                 items.sort(reverse=True)
                 res[i] = ",".join(_fmt(x) for x in items[: a.k])
             out[a.name] = res
         elif base == "topn_frequency":
             # top-n values by frequency, ties by larger value first
             v = values[a.col]
+            hv = hvalues[a.col]
             res = np.empty(n, dtype=object)
             for i in range(n):
-                items = _frame_items(v, start, hist_end, self_in, i)
+                items = _frame_items(hv, start, hist_end, self_in, i, v)
                 if items:
                     counts: dict = {}
                     for x in items:
@@ -403,21 +501,25 @@ def eval_aggs(
             v = values[a.col] if a.col else None
             cate = values[a.cate]
             where = values[a.where].astype(bool) if a.where else None
+            hv = hvalues[a.col] if a.col else None
+            hcate = hvalues[a.cate]
+            hwhere = hvalues[a.where].astype(bool) if a.where else None
             res = np.empty(n, dtype=object)
             for i in range(n):
-                idxs = list(range(start[i], hist_end[i]))
+                # (cate, value, where) triples: history then self
+                rows = [(hcate[j], hv[j] if hv is not None else 1.0,
+                         hwhere[j] if hwhere is not None else True)
+                        for j in range(start[i], hist_end[i])]
                 if self_in[i]:
-                    idxs.append(i)
+                    rows.append((cate[i], v[i] if v is not None else 1.0,
+                                 where[i] if where is not None else True))
                 groups: dict = {}
-                for j in idxs:
-                    if _isnull(cate[j]):
+                for c, val, w in rows:
+                    if _isnull(c) or not w:
                         continue
-                    if where is not None and not where[j]:
-                        continue
-                    val = v[j] if v is not None else 1.0
                     if v is not None and _isnull(val):
                         continue
-                    groups.setdefault(cate[j], []).append(val)
+                    groups.setdefault(c, []).append(val)
                 keys_sorted = (sorted(groups, reverse=True)[: a.k]
                                if top_n_key else sorted(groups))
                 parts = []
@@ -440,9 +542,10 @@ def eval_aggs(
                       "fz_window_split_by_value", "fz_join"):
             from openmldb_ray.functions import feature_zero as fz
             v = values[a.col]
+            hv = hvalues[a.col]
             res = np.empty(n, dtype=object)
             for i in range(n):
-                items = _frame_items(v, start, hist_end, self_in, i)
+                items = _frame_items(hv, start, hist_end, self_in, i, v)
                 if base == "fz_join":
                     res[i] = fz.fz_join(items, *a.params)
                 else:
@@ -457,9 +560,10 @@ def eval_aggs(
             out[a.name] = res
         elif base == "top1_ratio":
             v = values[a.col]
+            hv = hvalues[a.col]
             res = np.full(n, np.nan)
             for i in range(n):
-                sl = _frame_items(v, start, hist_end, self_in, i)
+                sl = _frame_items(hv, start, hist_end, self_in, i, v)
                 if sl:
                     vals, cnts = np.unique(sl, return_counts=True)
                     res[i] = cnts.max() / len(sl)

@@ -132,7 +132,8 @@ class _BucketWindow:
         group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
 
         if self.has_union:
-            is_primary = group[_TAG].to_numpy(zero_copy_only=False).astype(bool)
+            is_primary = group[_TAG].to_numpy(
+                zero_copy_only=False) == 0
         else:
             is_primary = np.ones(n, dtype=bool)
 
@@ -308,9 +309,16 @@ def window_agg_multi(
             return batch
         return fn
 
-    main = ds.map_batches(prep(1), batch_format="pyarrow")
-    for u in union_ds:
-        main = main.union(u.map_batches(prep(0), batch_format="pyarrow"))
+    # tag encodes the reference's k-way-merge tie order at equal ts
+    # (cases/function/window/test_window_union.yaml ids 18-x/19-x):
+    # later-listed union tables buffer first, the first-listed union
+    # table lands nearest the primary rows, primary rows (tag 0) are
+    # the most recent before the instance. Ascending tag sort after ts
+    # reproduces it: i-th union table -> tag -(i+1).
+    main = ds.map_batches(prep(0), batch_format="pyarrow")
+    for i, u in enumerate(union_ds):
+        main = main.union(u.map_batches(prep(-(i + 1)),
+                                        batch_format="pyarrow"))
 
     fn = _BucketWindow(specs_aggs, passthrough, has_union, sort_cols,
                        run_transform,

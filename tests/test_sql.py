@@ -17,7 +17,10 @@ SF = "/root/testdata/sf0.001"
 VERBATIM = [
     "window_rows", "window_range", "window_rows_between",
     "window_range_between", "window_where", "window_ect",
-    "window_open_preceding", "window_inw", "window_union",
+    # window_inw's oracle is now a correlated subquery (INW semantics
+    # need union-only frames, not expressible as a plain SQL window);
+    # INW through sql() is covered by test_window_union.yaml 13/16/19-2
+    "window_open_preceding", "window_union",
     "window_salted", "window_salted_rows", "lag_lead",
     "filter_project", "sort_limit", "distinct", "left_join",
     "last_join_asof", "last_join_unique", "scalar_string_math",

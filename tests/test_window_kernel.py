@@ -90,7 +90,7 @@ def test_kernel_matches_brute_union(spec, seed):
 def test_frame_bounds_basic():
     ts = np.array([0, 1, 2, 5, 5, 9], dtype=np.int64)
     spec = WindowSpec("k", "ts", preceding_range=3)
-    start, hist_end, self_in = frame_bounds(ts, spec)
+    start, hist_end, self_in, _ = frame_bounds(ts, spec)
     # row 3 (ts=5): frame covers ts in [2,5] -> start at index 2
     assert start[3] == 2 and hist_end[3] == 3 and self_in[3]
     # row 4 (ts=5): peers at equal ts that are earlier ARE in frame
@@ -100,5 +100,5 @@ def test_frame_bounds_basic():
 def test_rows_frame_ignores_time_gaps():
     ts = np.array([0, 100, 10_000], dtype=np.int64)
     spec = WindowSpec("k", "ts", preceding_rows=2)
-    start, hist_end, self_in = frame_bounds(ts, spec)
+    start, hist_end, self_in, _ = frame_bounds(ts, spec)
     assert start[2] == 0 and hist_end[2] == 2 and self_in[2]

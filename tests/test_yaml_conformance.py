@@ -24,6 +24,10 @@ SKIP = {
                 "storage-order-dependent in the reference",
     ("/root/reference/cases/function/window/test_window_union.yaml", 9):
         "LIMIT without ORDER BY — storage-order-dependent",
+    ("/root/reference/cases/function/select/test_select_sample.yaml", 10):
+        "LIMIT without ORDER BY — storage-order-dependent",
+    ("/root/reference/cases/function/select/test_select_sample.yaml", 11):
+        "LIMIT without ORDER BY — storage-order-dependent",
 }
 
 
@@ -69,7 +73,12 @@ WECT = ("/root/reference/cases/function/window/"
 LJSIMPLE = "/root/reference/cases/function/join/test_lastjoin_simple.yaml"
 
 
-@pytest.mark.parametrize("path,cid", _params(WUNION, list(range(0, 12))))
+WUNION_IDS = (list(range(0, 14)) + ["14-1", "14-2", "14-3", "14-4",
+              16, "16-2", 17, "18-1", "18-2", "18-3", "18-4", "18-5",
+              "19-1", "19-2"])
+
+
+@pytest.mark.parametrize("path,cid", _params(WUNION, WUNION_IDS))
 def test_window_union_cases(path, cid, ray_session):
     _check(path, cid, ray_session)
 
@@ -81,4 +90,24 @@ def test_window_ect_cases(path, cid, ray_session):
 
 @pytest.mark.parametrize("path,cid", _params(LJSIMPLE, list(range(0, 12))))
 def test_lastjoin_simple_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+SWHERE = "/root/reference/cases/function/select/test_where.yaml"
+SSUB = "/root/reference/cases/function/select/test_sub_select.yaml"
+SSAMPLE = "/root/reference/cases/function/select/test_select_sample.yaml"
+
+
+@pytest.mark.parametrize("path,cid", _params(SWHERE, list(range(0, 10))))
+def test_where_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(SSUB, list(range(0, 10))))
+def test_sub_select_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(SSAMPLE, list(range(0, 14))))
+def test_select_sample_cases(path, cid, ray_session):
     _check(path, cid, ray_session)

@@ -29,6 +29,8 @@ class BinOp:
     op: str              # + - * / % || = != < <= > >= AND OR
     l: object
     r: object
+    strict: bool = False  # openmldb dialect: reference type rules
+                          # (ts/date/string arithmetic validity)
 
 
 @dataclass
@@ -62,6 +64,9 @@ class Case:
 class Cast:
     e: object
     type: str            # upper-cased SQL type name
+    fn: bool = False     # function-style (int16(x)) vs CAST syntax —
+                         # they differ on invalid conversions
+                         # (test_type.yaml id 5 vs 32)
 
 
 @dataclass
@@ -76,6 +81,7 @@ class Like:
     pattern: str
     negated: bool = False
     ignore_case: bool = False
+    escape: str | None = None
 
 
 @dataclass

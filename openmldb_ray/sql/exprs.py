@@ -41,23 +41,141 @@ _CAST_TYPES = {
 OPENMLDB_TZ_OFFSET_MS = 8 * 3_600_000
 
 
-def _ts_ms(v):
-    """OpenMLDB-dialect timestamp(): -> epoch milliseconds (int64)."""
+def _parse_wallclock_ms(s: str):
+    """Tolerant wall-clock string -> epoch ms at the reference tz
+    (accepts unpadded fields and date-only forms)."""
+    import datetime as _dt
+    for f in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            d = _dt.datetime.strptime(s, f)
+        except ValueError:
+            continue
+        ep = d.replace(tzinfo=_dt.timezone.utc).timestamp()
+        return int(ep * 1000) - OPENMLDB_TZ_OFFSET_MS
+    return None
+
+
+def _ts_ms(v, strict_str: bool = False):
+    """OpenMLDB timestamp conversion -> timestamp('ms') (the
+    reference's storage unit). Integers are epoch ms (negative ->
+    NULL), strings parse as wall clock at the reference tz; CAST
+    additionally accepts digit strings as epoch ms, the timestamp()
+    function (``strict_str``) does not (test_type.yaml 2 vs 21)."""
+    TS = pa.timestamp("ms")
+    if v is None:
+        return pa.scalar(None, TS)
     if isinstance(v, str):
-        parsed = pc.strptime(pa.array([v]), format="%Y-%m-%d %H:%M:%S",
-                             unit="ms", error_is_null=True)
-        return pa.scalar(parsed.cast(pa.int64())[0].as_py()
-                         - OPENMLDB_TZ_OFFSET_MS, pa.int64())
+        ms = _parse_wallclock_ms(v)
+        if ms is None and not strict_str and v.lstrip("+").isdigit():
+            ms = int(v)
+        return pa.scalar(ms, TS)
     if isinstance(v, (int, np.integer)):
-        return pa.scalar(int(v), pa.int64())
+        return pa.scalar(int(v) if v >= 0 else None, TS)
     if pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
-        parsed = pc.strptime(v, format="%Y-%m-%d %H:%M:%S", unit="ms",
-                             error_is_null=True)
-        return pc.subtract(parsed.cast(pa.int64()),
+        p1 = pc.strptime(v, format="%Y-%m-%d %H:%M:%S", unit="ms",
+                         error_is_null=True)
+        p2 = pc.strptime(v, format="%Y-%m-%d", unit="ms",
+                         error_is_null=True)
+        wall = pc.subtract(pc.coalesce(p1, p2).cast(pa.int64()),
                            pa.scalar(OPENMLDB_TZ_OFFSET_MS, pa.int64()))
+        if not strict_str:
+            digits = pc.if_else(
+                pc.match_substring_regex(v, r"^\+?\d+$"),
+                v, pa.scalar(None, v.type if not isinstance(
+                    v, pa.ChunkedArray) else pa.string()))
+            import pandas as pd
+            darr = pd.to_numeric(pd.Series(
+                digits.to_pandas()), errors="coerce")
+            num = pa.array(darr.to_numpy(np.float64, na_value=np.nan),
+                           from_pandas=True).cast(pa.int64(),
+                                                  safe=False)
+            wall = pc.coalesce(wall, num)
+        return pc.cast(wall, TS)
     if pa.types.is_timestamp(v.type):
-        return pc.cast(v, pa.timestamp("ms")).cast(pa.int64())
-    return pc.cast(v, pa.int64())
+        return pc.cast(v, TS)
+    if pa.types.is_date(v.type):
+        # local midnight of that date -> epoch ms at the reference tz
+        ts = pc.cast(pc.cast(v, pa.timestamp("ms")), pa.int64())
+        ms = pc.subtract(ts, pa.scalar(OPENMLDB_TZ_OFFSET_MS,
+                                       pa.int64()))
+        return pc.cast(ms, TS)
+    if pa.types.is_boolean(v.type):
+        return pc.cast(pc.cast(v, pa.int64()), TS)  # false=0, true=1
+    if pa.types.is_floating(v.type):
+        v = pc.cast(pc.trunc(v), pa.int64(), safe=False)
+    ms = pc.cast(v, pa.int64())
+    # negative epochs are invalid timestamps in the reference
+    # (test_type.yaml id 21: timestamp(-1) -> NULL)
+    ms = pc.if_else(pc.greater_equal(ms, 0), ms,
+                    pa.scalar(None, pa.int64()))
+    return pc.cast(ms, TS)
+
+
+def _kind(v) -> str:
+    """Operand kind for the reference's arithmetic type rules."""
+    t = getattr(v, "type", None)
+    if t is not None:
+        if pa.types.is_timestamp(t) or pa.types.is_duration(t):
+            return "ts"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "str"
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    return "num"  # numbers, bools, NULL literals
+
+
+def _arith_check(op: str, l, r) -> None:
+    """Reference arithmetic type rules (expression/test_arithmetic.yaml
+    ids 5-14): date and string operands are always invalid; timestamps
+    are valid only on + (either side, incl. ts+ts) and as the LEFT
+    side of - with a non-timestamp right side; %, *, / reject
+    timestamps entirely."""
+    lk, rk = _kind(l), _kind(r)
+    if "date" in (lk, rk) or "str" in (lk, rk):
+        raise ValueError(
+            f"operator {op} is not defined for {lk}/{rk} operands")
+    if "ts" not in (lk, rk):
+        return
+    if op == "+":
+        return
+    if op == "-" and lk == "ts" and rk != "ts":
+        return
+    raise ValueError(
+        f"operator {op} is not defined for timestamp operands here")
+
+
+def _ts_arith(op: str, l, r):
+    """+/- with a timestamp side: compute in the timestamp's native
+    integer unit, return the same timestamp type."""
+    lt = getattr(l, "type", None)
+    rt = getattr(r, "type", None)
+    out_t = lt if lt is not None and pa.types.is_timestamp(lt) else rt
+
+    def as_int(v, t):
+        if t is not None and pa.types.is_timestamp(t):
+            return pc.cast(v, pa.int64())
+        return v
+    li, ri = as_int(l, lt), as_int(r, rt)
+    res = pc.add(li, ri) if op == "+" else pc.subtract(li, ri)
+    return pc.cast(pc.cast(res, pa.int64()), out_t)
+
+
+def _arith_operand(v):
+    """Arithmetic promotion: bool participates as an integer
+    (expression/test_arithmetic.yaml id 0: c2 * c9 is valid); python
+    int literals are int32 like the reference's (so col_int32 + 1
+    stays int32 for ifnull's strict type check)."""
+    t = getattr(v, "type", None)
+    if t is not None and pa.types.is_boolean(t):
+        return pc.cast(v, pa.int32())
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int) and -2**31 <= v < 2**31:
+        return pa.scalar(v, pa.int32())
+    return v
 
 
 def _num(a):
@@ -70,10 +188,162 @@ def _num(a):
     return a
 
 
+def _ts_shift(v):
+    """Timestamp -> wall-clock at the reference tz, ms unit."""
+    ms = pc.cast(pc.cast(v, pa.timestamp("ms")), pa.int64())
+    return pc.cast(pc.add(ms, pa.scalar(OPENMLDB_TZ_OFFSET_MS,
+                                        pa.int64())),
+                   pa.timestamp("ms"))
+
+
+def _ts_to_string(v):
+    """Canonical OpenMLDB timestamp rendering: 'YYYY-mm-dd HH:MM:SS'
+    wall clock at the reference tz (test_type.yaml id 19). Truncate to
+    seconds first — strftime %S renders fractional digits on sub-second
+    units."""
+    secs = pc.cast(pc.divide(pc.cast(_ts_shift(v), pa.int64()), 1000),
+                   pa.timestamp("s"))
+    return pc.strftime(secs, format="%Y-%m-%d %H:%M:%S")
+
+
+def _ifnull(a, b):
+    """ifnull/nvl with the reference's STRICT type equality: both
+    arguments must have the same concrete type (int32 vs int64 or int
+    vs double is a compile error, condition/test_condition.yaml ids
+    11-13); NULL literals match anything."""
+    def tname(x):
+        t = getattr(x, "type", None)
+        if t is not None:
+            return str(t)
+        if x is None:
+            return None
+        if isinstance(x, bool):
+            return "bool"
+        if isinstance(x, int):
+            return "int32"   # reference int literals are int32
+        if isinstance(x, float):
+            return "double"
+        if isinstance(x, str):
+            return "string"
+        return type(x).__name__
+    ta, tb = tname(a), tname(b)
+    if ta is not None and tb is not None and ta != tb \
+            and not (ta.startswith("null") or tb.startswith("null")):
+        raise ValueError(
+            f"ifnull argument types must match exactly: {ta} vs {tb}")
+    return pc.coalesce(a, b)
+
+
+def _bool_fn(v):
+    """bool() function: parse semantics for strings, truthiness for
+    numerics/timestamps, validity for dates (test_type.yaml 22-23)."""
+    t = getattr(v, "type", None)
+    if t is None:
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return _str_to_bool(pa.array([v]))[0]
+        return bool(v)
+    if pa.types.is_boolean(t):
+        return v
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _str_to_bool(v)
+    if pa.types.is_timestamp(t):
+        return pc.not_equal(pc.cast(v, pa.int64()), 0)
+    if pa.types.is_date(t):
+        return pa.nulls(len(v), pa.bool_())  # bool(date) -> NULL (id 32)
+    return pc.if_else(pc.is_valid(v), pc.not_equal(v, 0),
+                      pa.scalar(None, pa.bool_()))
+
+
+def _str_to_bool(v):
+    """String -> bool, reference semantics (test_type.yaml ids 22-23):
+    t/true/y/yes -> true, f/false/n/no -> false; otherwise a C-style
+    leading-number parse ('1'->true, '0'->false, '2020-05-22 ...' ->
+    2020 -> true); unparseable -> NULL."""
+    import pandas as pd
+    arr = v.to_numpy(zero_copy_only=False) if hasattr(v, "to_numpy") \
+        else np.asarray(v, dtype=object)
+    s = pd.Series(arr, dtype=object)
+    low = s.str.lower()
+    out = pd.Series([None] * len(s), dtype=object)
+    out[low.isin(["t", "true", "y", "yes"])] = True
+    out[low.isin(["f", "false", "n", "no"])] = False
+    undecided = out.isna() & s.notna()
+    lead = s[undecided].str.extract(r"^\s*([+-]?\d+\.?\d*)",
+                                    expand=False)
+    num = pd.to_numeric(lead, errors="coerce")
+    out[undecided] = num.map(lambda x: None if x != x else bool(x))
+    return pa.array(out.tolist(), type=pa.bool_())
+
+
+def _cast_py(v, ty: pa.DataType) -> pa.Scalar:
+    """Cast a python literal to an Arrow scalar (cast(1 as string))."""
+    if v is None:
+        return pa.scalar(None, ty)
+    try:
+        return pa.scalar(v, ty)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        pass
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        if isinstance(v, float) and float(v).is_integer():
+            return pa.scalar(str(int(v)), ty)
+        return pa.scalar(str(v), ty)
+    if pa.types.is_floating(ty):
+        return pa.scalar(float(v), ty)
+    if pa.types.is_integer(ty):
+        return pa.scalar(int(v), ty)
+    if pa.types.is_boolean(ty):
+        return pa.scalar(bool(v), ty)
+    raise ValueError(f"cannot cast literal {v!r} to {ty}")
+
+
+def _like_regex(pattern: str, escape: str) -> str:
+    """SQL LIKE pattern with a custom escape char -> anchored regex
+    (an empty escape string disables escaping entirely)."""
+    import re as _re
+    out, i, n = [], 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < n:
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _require_int(v, op: str):
+    """Bitwise/DIV operands must be integer (or bool) typed — the
+    reference rejects float/string/temporal operands at compile time
+    (expression/test_arithmetic.yaml bitwise_operators_fail)."""
+    t = getattr(v, "type", None)
+    if t is not None:
+        if not (pa.types.is_integer(t) or pa.types.is_boolean(t)
+                or pa.types.is_null(t)):
+            raise ValueError(f"operator {op} requires integer "
+                             f"operands, got {t}")
+    elif not (v is None or isinstance(v, (int, np.integer, bool))):
+        raise ValueError(f"operator {op} requires integer operands, "
+                         f"got {type(v).__name__}")
+
+
 def _mod(a, b):
+    if a is None or b is None:
+        if hasattr(a, "type") or hasattr(b, "type"):
+            arr = a if hasattr(a, "type") else b
+            return pa.nulls(len(arr), pa.float64())
+        return None
     an = a.to_numpy(zero_copy_only=False) if hasattr(a, "to_numpy") else a
     bn = b.to_numpy(zero_copy_only=False) if hasattr(b, "to_numpy") else b
-    return pa.array(np.mod(an, bn))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pa.array(np.mod(an, bn))
 
 
 def _dayofweek(a):
@@ -116,7 +386,13 @@ def _sql_funcs():
         "pow": lambda a, b: pc.power(_num(a), _num(b)),
         "power": lambda a, b: pc.power(_num(a), _num(b)),
         "sin": pc.sin, "cos": pc.cos, "tan": pc.tan,
-        "coalesce": pc.coalesce, "ifnull": pc.coalesce, "nvl": pc.coalesce,
+        "coalesce": pc.coalesce, "ifnull": _ifnull, "nvl": _ifnull,
+        "nvl2": lambda x, a, b: pc.if_else(pc.is_valid(x), a, b),
+        "isnull": pc.is_null,
+        "identity": lambda x: x,
+        "__cst__": _cst,
+        "bool": _bool_fn,
+        "timestamp": lambda v: _ts_ms(v, strict_str=True),
         "greatest": lambda *a: pc.max_element_wise(*a),
         "least": lambda *a: pc.min_element_wise(*a),
         "trim": pc.utf8_trim_whitespace,
@@ -130,17 +406,44 @@ def _sql_funcs():
             a, pattern=str(_scalar(x)), replacement=str(_scalar(y))),
         "concat": F.concat,
         "concat_ws": lambda s, *a: F.concat_ws(str(_scalar(s)), *a),
-        "year": lambda a: pc.cast(pc.year(a), pa.int64()),
-        "month": lambda a: pc.cast(pc.month(a), pa.int64()),
-        "day": lambda a: pc.cast(pc.day(a), pa.int64()),
-        "dayofmonth": lambda a: pc.cast(pc.day(a), pa.int64()),
-        "hour": lambda a: pc.cast(pc.hour(a), pa.int64()),
-        "minute": lambda a: pc.cast(pc.minute(a), pa.int64()),
-        "second": lambda a: pc.cast(pc.second(a), pa.int64()),
-        "dayofweek": _dayofweek,
-        "weekofyear": lambda a: pc.cast(pc.iso_week(a), pa.int64()),
-        "dayofyear": lambda a: pc.cast(pc.day_of_year(a), pa.int64()),
+        "year": lambda a: pc.cast(pc.year(_temporal(a)), pa.int64()),
+        "month": lambda a: pc.cast(pc.month(_temporal(a)), pa.int64()),
+        "day": lambda a: pc.cast(pc.day(_temporal(a)), pa.int64()),
+        "dayofmonth": lambda a: pc.cast(pc.day(_temporal(a)),
+                                        pa.int64()),
+        "hour": lambda a: pc.cast(pc.hour(_temporal(a)), pa.int64()),
+        "minute": lambda a: pc.cast(pc.minute(_temporal(a)),
+                                    pa.int64()),
+        "second": lambda a: pc.cast(pc.second(_temporal(a)),
+                                    pa.int64()),
+        "dayofweek": lambda a: _dayofweek(_temporal(a)),
+        "weekofyear": lambda a: pc.cast(pc.iso_week(_temporal(a)),
+                                        pa.int64()),
+        "dayofyear": lambda a: pc.cast(pc.day_of_year(_temporal(a)),
+                                       pa.int64()),
     }
+
+
+def _temporal(a):
+    """Temporal functions also accept epoch-ms int64 values (the
+    reference's timestamp storage type)."""
+    t = getattr(a, "type", None)
+    if t is not None and pa.types.is_integer(t):
+        return pc.cast(pc.cast(a, pa.int64()), pa.timestamp("ms"))
+    if isinstance(a, (int, np.integer)):
+        return pa.scalar(int(a), pa.timestamp("ms"))
+    return a
+
+
+def _cst(a):
+    """Shift a timestamp (or epoch-ms int) to the reference-tz wall
+    clock; the openmldb dialect wraps temporal extraction functions
+    with this so year()/hour()/... match the reference's rendering."""
+    a = _temporal(a)
+    t = getattr(a, "type", None)
+    if t is not None and pa.types.is_timestamp(t):
+        return _ts_shift(a)
+    return a
 
 
 def _scalar(x):
@@ -165,8 +468,23 @@ def eval_expr(e, tbl: pa.Table):
     if isinstance(e, UnOp):
         v = eval_expr(e.e, tbl)
         if e.op == "NOT":
-            return pc.invert(v)
-        return pc.negate(v) if hasattr(v, "type") else -v
+            return pc.invert(_b(v, tbl))
+        if e.op == "~":
+            _require_int(v, "~")
+            if not hasattr(v, "type"):
+                return None if v is None else ~int(v)
+            return pc.bit_wise_not(v)
+        if not hasattr(v, "type"):
+            return None if v is None else -v
+        if _kind(v) in ("ts", "date", "str"):
+            raise ValueError(
+                "unary minus is not defined for "
+                "string/date/timestamp operands")
+        if pa.types.is_boolean(v.type):
+            # reference: unary minus on bool is a no-op (-true = true,
+            # expression/test_arithmetic.yaml id 15)
+            return v
+        return pc.negate(v)
     if isinstance(e, BinOp):
         l = eval_expr(e.l, tbl)
         r = eval_expr(e.r, tbl)
@@ -175,6 +493,14 @@ def eval_expr(e, tbl: pa.Table):
             return pc.and_kleene(_b(l, tbl), _b(r, tbl))
         if op == "OR":
             return pc.or_kleene(_b(l, tbl), _b(r, tbl))
+        if op in ("+", "-", "*", "/", "%") and getattr(e, "strict",
+                                                       False):
+            # openmldb dialect: reference arithmetic type rules +
+            # int32 literals + timestamp-unit arithmetic
+            _arith_check(op, l, r)
+            l, r = _arith_operand(l), _arith_operand(r)
+            if _kind(l) == "ts" or _kind(r) == "ts":
+                return _ts_arith(op, l, r)
         if op == "+":
             return pc.add(l, r) if _anyarr(l, r) else l + r
         if op == "-":
@@ -187,13 +513,64 @@ def eval_expr(e, tbl: pa.Table):
             return pc.divide(_num(l), _num(r))
         if op == "%":
             return _mod(l, r)
+        if op == "DIV":
+            # integer division (udfs_8h.md DIV: int operands only)
+            _require_int(l, "DIV")
+            _require_int(r, "DIV")
+            if l is None or r is None:
+                if _anyarr(l, r):
+                    arr = l if hasattr(l, "type") else r
+                    return pa.nulls(len(arr), pa.int64())
+                return None
+            if not _anyarr(l, r):
+                return int(np.trunc(l / r)) if r != 0 else None
+            ln = l.to_numpy(zero_copy_only=False) if hasattr(
+                l, "to_numpy") else l
+            rn = r.to_numpy(zero_copy_only=False) if hasattr(
+                r, "to_numpy") else r
+            with np.errstate(divide="ignore", invalid="ignore"):
+                res = np.trunc(np.divide(ln, rn))
+            mask = ~np.isfinite(res)
+            out = pa.array(np.where(mask, 0, res).astype(np.int64),
+                           from_pandas=True)
+            if mask.any():
+                out = pc.if_else(pa.array(mask), pa.scalar(
+                    None, pa.int64()), out)
+            return out
+        if op == "XOR":
+            return pc.xor(_b(l, tbl), _b(r, tbl))
+        if op in ("&", "|", "^", "<<", ">>"):
+            _require_int(l, op)
+            _require_int(r, op)
+            fn = {"&": pc.bit_wise_and, "|": pc.bit_wise_or,
+                  "^": pc.bit_wise_xor, "<<": pc.shift_left,
+                  ">>": pc.shift_right}[op]
+            if not _anyarr(l, r):
+                if l is None or r is None:
+                    return None
+                return {"&": l & r, "|": l | r, "^": l ^ r,
+                        "<<": l << r, ">>": l >> r}[op]
+            if l is None or r is None:
+                arr = l if hasattr(l, "type") else r
+                return pa.nulls(len(arr), arr.type)
+            return fn(l, r)
         if op == "||":
             return _strcat(l, r)
         cmps = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
                 "<=": pc.less_equal, ">": pc.greater,
                 ">=": pc.greater_equal}
         if op in cmps:
-            l, r = _align_ts(l, r)
+            if l is None or r is None:
+                # comparison with a NULL literal is NULL
+                arr = l if hasattr(l, "type") else r
+                n = len(arr) if arr is not None else tbl.num_rows
+                return pa.nulls(n, pa.bool_())
+            lk, rk = _kind(l), _kind(r)
+            if {"ts", "date"} == {lk, rk}:
+                raise ValueError(
+                    "cannot compare timestamp with date "
+                    "(expression/test_predicate.yaml id 4)")
+            l, r = _align_cmp(*_align_ts(l, r))
             return cmps[op](l, r)
         raise ValueError(f"unknown operator {op}")
     if isinstance(e, IsNull):
@@ -202,7 +579,13 @@ def eval_expr(e, tbl: pa.Table):
         return pc.invert(out) if e.negated else out
     if isinstance(e, Like):
         v = eval_expr(e.e, tbl)
-        out = pc.match_like(v, e.pattern, ignore_case=e.ignore_case)
+        if e.escape is not None:
+            # custom (or empty = disabled) escape char -> regex
+            out = pc.match_substring_regex(
+                v, _like_regex(e.pattern, e.escape),
+                ignore_case=e.ignore_case)
+        else:
+            out = pc.match_like(v, e.pattern, ignore_case=e.ignore_case)
         return pc.invert(out) if e.negated else out
     if isinstance(e, Between):
         v = eval_expr(e.e, tbl)
@@ -213,7 +596,34 @@ def eval_expr(e, tbl: pa.Table):
     if isinstance(e, InList):
         v = eval_expr(e.e, tbl)
         items = [eval_expr(x, tbl) for x in e.items]
-        out = pc.is_in(v, value_set=pa.array(items))
+        if any(hasattr(x, "type") or hasattr(x, "to_numpy")
+               for x in items):
+            # expression list (IN (b.score/10, ...)): element-wise ORs
+            out = None
+            for x in items:
+                eq = pc.equal(*_align_cmp(*_align_ts(v, x)))
+                out = eq if out is None else pc.or_kleene(out, eq)
+            return pc.invert(out) if e.negated else out
+        vt = getattr(v, "type", None)
+        if vt is not None:
+            # literal list: each item coerces to the tested column's
+            # type (IN ('1', 3.0) over an int column matches 1 and 3,
+            # expression/test_predicate.yaml in_predicate_type_conv)
+            def co(x):
+                try:
+                    if pa.types.is_integer(vt):
+                        return int(float(x))
+                    if pa.types.is_floating(vt):
+                        return float(x)
+                    if pa.types.is_string(vt):
+                        return str(x)
+                except (TypeError, ValueError):
+                    return None
+                return x
+            items = [co(x) for x in items]
+            out = pc.is_in(v, value_set=pa.array(items, type=vt))
+        else:
+            out = pc.is_in(v, value_set=pa.array(items))
         return pc.invert(out) if e.negated else out
     if isinstance(e, Case):
         n = tbl.num_rows
@@ -221,7 +631,9 @@ def eval_expr(e, tbl: pa.Table):
         default = (eval_expr(e.default, tbl) if e.default is not None
                    else None)
         for cond, val in reversed(e.whens):
-            c = _b(eval_expr(cond, tbl), tbl)
+            # a NULL condition is "not matched" (falls through to the
+            # next WHEN / ELSE), not a NULL result
+            c = pc.fill_null(_b(eval_expr(cond, tbl), tbl), False)
             v = eval_expr(val, tbl)
             if result is None:
                 if default is None:
@@ -243,15 +655,67 @@ def eval_expr(e, tbl: pa.Table):
             return pa.scalar(np.datetime64(v, "us"), ty)
         if isinstance(v, str) and ty == pa.date32():
             import datetime as _dt
-            return pa.scalar(_dt.date.fromisoformat(v), ty)
+            y, m, d = (int(x) for x in v.split("-"))
+            return pa.scalar(_dt.date(y, m, d), ty)
         if not hasattr(v, "type"):
-            return pa.scalar(v, ty)
+            return _cast_py(v, ty)
         if pa.types.is_floating(v.type) and pa.types.is_integer(ty):
             # reference int(float) truncates toward zero (int(20.1)=20)
             return pc.cast(pc.trunc(v), ty, safe=False)
         if pa.types.is_string(v.type) and pa.types.is_timestamp(ty):
             return pc.strptime(v, format="%Y-%m-%d %H:%M:%S", unit="us",
                                error_is_null=True)
+        if pa.types.is_string(v.type) and (pa.types.is_integer(ty)
+                                           or pa.types.is_floating(ty)):
+            # unparseable string -> NULL (test_type.yaml ids 14-18)
+            num = _to_num_coerce(v)
+            if pa.types.is_integer(ty):
+                return pc.cast(pc.trunc(num), ty, safe=False)
+            return pc.cast(num, ty)
+        if pa.types.is_string(v.type) and pa.types.is_boolean(ty):
+            # CAST AS BOOL: parse keywords/numbers, but unparseable
+            # non-empty strings are TRUE ('aa' -> true, test_type.yaml
+            # id 1) — unlike the bool() function (NULL)
+            parsed = _str_to_bool(v)
+            return pc.coalesce(parsed, pc.not_equal(
+                pc.utf8_length(v), 0))
+        if pa.types.is_string(v.type) and ty == pa.date32():
+            p1 = pc.strptime(v, format="%Y-%m-%d %H:%M:%S", unit="s",
+                             error_is_null=True)
+            p2 = pc.strptime(v, format="%Y-%m-%d", unit="s",
+                             error_is_null=True)
+            return pc.cast(pc.coalesce(p1, p2), ty)
+        if pa.types.is_date(v.type) and pa.types.is_boolean(ty):
+            # date truthiness: non-NULL -> true (test_type.yaml id 3)
+            return pc.if_else(pc.is_valid(v), pa.scalar(True),
+                              pa.scalar(None, pa.bool_()))
+        if pa.types.is_timestamp(v.type):
+            # OpenMLDB renders/derives timestamps at the reference tz
+            if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+                return _ts_to_string(v)
+            if ty == pa.date32():
+                return pc.cast(_ts_shift(v), pa.date32())
+            if pa.types.is_boolean(ty):
+                return pc.not_equal(pc.cast(v, pa.int64()), 0)
+            if pa.types.is_integer(ty) or pa.types.is_floating(ty):
+                ms = pc.cast(pc.cast(v, pa.timestamp("ms")), pa.int64())
+                return pc.cast(ms, ty, safe=False)
+        if pa.types.is_integer(v.type) and ty == pa.date32():
+            # integers never cast to date (test_type.yaml ids 4, 26-28)
+            raise ValueError("cannot cast an integer to date")
+        if pa.types.is_date(v.type) and (pa.types.is_integer(ty)
+                                         or pa.types.is_floating(ty)):
+            # function-style int16(date) -> NULL (test_type.yaml 32);
+            # CAST(date AS smallint) is a compile error (id 5)
+            if getattr(e, "fn", False):
+                return pa.nulls(len(v), ty)
+            raise ValueError("cannot CAST date to a numeric type")
+        if pa.types.is_boolean(ty) and (pa.types.is_integer(v.type)
+                                        or pa.types.is_floating(v.type)):
+            return pc.if_else(pc.is_valid(v), pc.not_equal(v, 0),
+                              pa.scalar(None, pa.bool_()))
+        if pa.types.is_integer(v.type) and pa.types.is_integer(ty):
+            return pc.cast(v, ty, safe=False)  # C-style wraparound
         return pc.cast(v, ty)
     if isinstance(e, Func):
         funcs = _sql_funcs()
@@ -272,10 +736,97 @@ def _anyarr(*xs):
 
 
 def _b(v, tbl):
-    """Coerce to a boolean array (broadcast python bools)."""
+    """Coerce to a boolean array with the reference's truthiness rules
+    (expression/test_logic.yaml id 0): numbers/timestamps are true when
+    non-zero, strings when non-empty, dates when non-NULL; NULL stays
+    NULL (three-valued logic)."""
     if isinstance(v, bool):
         return pa.array(np.full(tbl.num_rows, v))
-    return v
+    if v is None:
+        return pa.nulls(tbl.num_rows, pa.bool_())
+    if isinstance(v, (int, np.integer, float)):
+        return pa.array(np.full(tbl.num_rows, bool(v)))
+    t = getattr(v, "type", None)
+    if t is None or pa.types.is_boolean(t):
+        return v
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.not_equal(pc.utf8_length(v), 0)
+    if pa.types.is_timestamp(t):
+        return pc.not_equal(pc.cast(v, pa.int64()), 0)
+    if pa.types.is_date(t):
+        return pc.if_else(pc.is_valid(v), pa.scalar(True),
+                          pa.scalar(None, pa.bool_()))
+    return pc.not_equal(v, 0)
+
+
+def _align_cmp(l, r):
+    """Mixed-type comparison promotion (expression/test_predicate.yaml
+    ids 0-6): string vs numeric compares numerically (unparseable ->
+    NULL); string vs date/bool compares lexically (the other side
+    rendered as its canonical string)."""
+    def ty(x):
+        return getattr(x, "type", None)
+
+    def is_str(t):
+        return t is not None and (pa.types.is_string(t)
+                                  or pa.types.is_large_string(t))
+
+    def is_num(t):
+        return t is not None and (pa.types.is_integer(t)
+                                  or pa.types.is_floating(t))
+    lt, rt = ty(l), ty(r)
+
+    def is_bool(t, x):
+        return (t is not None and pa.types.is_boolean(t)) \
+            or isinstance(x, bool)
+    # bool vs numeric compares numerically (test_predicate.yaml id 1)
+    if is_bool(lt, l) and (is_num(rt) or isinstance(r, (int, float))):
+        l = pc.cast(l, pa.int32()) if lt is not None else int(l)
+        lt = ty(l)
+    elif is_bool(rt, r) and (is_num(lt) or isinstance(l, (int, float))):
+        r = pc.cast(r, pa.int32()) if rt is not None else int(r)
+        rt = ty(r)
+    l_str = is_str(lt) or isinstance(l, str)
+    r_str = is_str(rt) or isinstance(r, str)
+    if l_str == r_str:
+        return l, r
+    s, o = (l, r) if l_str else (r, l)       # s = string side
+    ot = ty(o)
+    if is_num(ot) or isinstance(o, (int, float)):
+        # string vs numeric compares lexically — the numeric side is
+        # rendered as its canonical string (test_predicate.yaml id 1:
+        # 10 < 'bb' is TRUE)
+        s2 = s
+        o2 = pc.cast(o, pa.string()) if ot is not None else str(o)
+    elif ot is not None and pa.types.is_boolean(ot) \
+            or isinstance(o, bool):
+        o2 = pc.cast(o, pa.string()) if ot is not None \
+            else ("true" if o else "false")
+        s2 = s
+    elif ot is not None and pa.types.is_timestamp(ot):
+        o2 = _ts_to_string(o)
+        s2 = s
+    elif ot is not None and pa.types.is_date(ot):
+        o2 = pc.cast(o, pa.string())
+        s2 = s
+    else:
+        return l, r
+    return (s2, o2) if l_str else (o2, s2)
+
+
+def _to_num_coerce(v):
+    """String -> float64 with NULL for unparseable values."""
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return None
+    import pandas as pd
+    arr = v.to_numpy(zero_copy_only=False) if hasattr(v, "to_numpy") \
+        else np.asarray(v)
+    return pa.array(pd.to_numeric(pd.Series(arr), errors="coerce")
+                    .to_numpy(dtype=np.float64, na_value=np.nan),
+                    from_pandas=True)
 
 
 def _align_ts(l, r):

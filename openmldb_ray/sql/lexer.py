@@ -19,11 +19,13 @@ KEYWORDS = {
     "CURRENT", "ROW", "UNBOUNDED", "OPEN", "MAXSIZE", "EXCLUDE",
     "CURRENT_TIME", "INSTANCE_NOT_IN_WINDOW", "UNION", "ALL", "DESC",
     "ASC", "INTERVAL", "OVER", "HAVING", "TIMESTAMP", "DATE", "WITH",
+    "MOD", "DIV", "XOR", "ESCAPE",
 }
 
 # multi-char operators first
-_OPS = ["<>", "!=", ">=", "<=", "||", "==", "=", "<", ">", "+", "-",
-        "*", "/", "%", "(", ")", ",", ".", ";", "!"]
+_OPS = ["<>", "!=", ">=", "<=", "<<", ">>", "||", "==", "=", "<", ">",
+        "+", "-", "*", "/", "%", "(", ")", ",", ".", ";", "!", "&",
+        "^", "~", "|"]
 
 _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
             "d": 86_400_000_000}

@@ -18,9 +18,10 @@ from openmldb_ray.sql.ast import (Between, BinOp, Bound, Case, Cast, Col,
 from openmldb_ray.sql.lexer import Tok, tokenize
 
 # function-style cast names (udfs_8h.md: bigint/int/smallint/float/
-# double/string/bool; date/timestamp handled in the keyword branch)
+# double/string; date/timestamp handled in the keyword branch; bool()
+# keeps parse semantics distinct from CAST AS BOOL truthiness)
 _CAST_FUNCS = {"BIGINT", "INT", "INT16", "INT32", "INT64", "SMALLINT",
-               "STRING", "FLOAT", "DOUBLE", "BOOL"}
+               "STRING", "VARCHAR", "FLOAT", "DOUBLE"}
 
 _INTERVAL_US = {"MICROSECOND": 1, "MICROSECONDS": 1,
                 "MILLISECOND": 1_000, "MILLISECONDS": 1_000,
@@ -296,9 +297,15 @@ class Parser:
         return self.or_expr()
 
     def or_expr(self):
-        e = self.and_expr()
+        e = self.xor_expr()
         while self.eat_kw("OR"):
-            e = BinOp("OR", e, self.and_expr())
+            e = BinOp("OR", e, self.xor_expr())
+        return e
+
+    def xor_expr(self):  # MySQL-style: OR < XOR < AND
+        e = self.and_expr()
+        while self.eat_kw("XOR"):
+            e = BinOp("XOR", e, self.and_expr())
         return e
 
     def and_expr(self):
@@ -313,12 +320,12 @@ class Parser:
         return self.cmp_expr()
 
     def cmp_expr(self):
-        e = self.add_expr()
+        e = self.bitor_expr()
         while True:
             if self.at_op("=", "==", "!=", "<>", "<", "<=", ">", ">="):
                 op = self.next().val
                 op = {"==": "=", "<>": "!="}.get(op, op)
-                e = BinOp(op, e, self.add_expr())
+                e = BinOp(op, e, self.bitor_expr())
                 continue
             if self.at_kw("IS"):
                 self.next()
@@ -334,7 +341,10 @@ class Parser:
             if self.at_kw("LIKE", "ILIKE"):
                 ic = self.next().val == "ILIKE"
                 pat = self.next()
-                e = Like(e, pat.val, neg, ic)
+                esc = None
+                if self.eat_kw("ESCAPE"):
+                    esc = str(self.next().val)
+                e = Like(e, pat.val, neg, ic, esc)
                 continue
             if self.at_kw("BETWEEN"):
                 self.next()
@@ -354,6 +364,36 @@ class Parser:
                 continue
             return e
 
+    # bitwise precedence (ZetaSQL-style): << >> bind tighter than &,
+    # then ^, then | — all between arithmetic and comparisons
+    def bitor_expr(self):
+        e = self.bitxor_expr()
+        while self.at_op("|"):
+            self.next()
+            e = BinOp("|", e, self.bitxor_expr())
+        return e
+
+    def bitxor_expr(self):
+        e = self.bitand_expr()
+        while self.at_op("^"):
+            self.next()
+            e = BinOp("^", e, self.bitand_expr())
+        return e
+
+    def bitand_expr(self):
+        e = self.shift_expr()
+        while self.at_op("&"):
+            self.next()
+            e = BinOp("&", e, self.shift_expr())
+        return e
+
+    def shift_expr(self):
+        e = self.add_expr()
+        while self.at_op("<<", ">>"):
+            op = self.next().val
+            e = BinOp(op, e, self.add_expr())
+        return e
+
     def add_expr(self):
         e = self.mul_expr()
         while self.at_op("+", "-", "||"):
@@ -363,14 +403,24 @@ class Parser:
 
     def mul_expr(self):
         e = self.unary()
-        while self.at_op("*", "/", "%"):
-            op = self.next().val
+        while True:
+            if self.at_op("*", "/", "%"):
+                op = self.next().val
+            elif self.at_kw("MOD"):
+                self.next()
+                op = "%"
+            elif self.at_kw("DIV"):
+                self.next()
+                op = "DIV"
+            else:
+                return e
             e = BinOp(op, e, self.unary())
-        return e
 
     def unary(self):
         if self.eat_op("-"):
             return UnOp("-", self.unary())
+        if self.eat_op("~"):
+            return UnOp("~", self.unary())
         if self.eat_op("+"):
             return self.unary()
         return self.postfix()
@@ -423,18 +473,30 @@ class Parser:
                 return Interval(int(n.val) * _INTERVAL_US[u])
             if t.val in ("TIMESTAMP", "DATE"):
                 self.next()
-                if self.at_op("("):  # function-style cast: date("..")
+                if self.at_op("("):
+                    # function-style: timestamp(x) parses datetime
+                    # strings ONLY (digit strings -> NULL), unlike
+                    # CAST(x AS TIMESTAMP) (test_type.yaml 2 vs 21);
+                    # date(x) shares CAST semantics
                     self.next()
                     e = self.expr()
                     self.expect_op(")")
-                    return Cast(e, t.val)
+                    return (Func("timestamp", [e])
+                            if t.val == "TIMESTAMP" else Cast(e, t.val))
                 lit = self.next()
                 return Cast(Lit(lit.val), t.val)
             if t.val == "CASE":
                 self.next()
+                operand = None
+                if not self.at_kw("WHEN"):
+                    # simple CASE: CASE x WHEN v THEN r ... END
+                    operand = self.expr()
                 whens = []
                 while self.eat_kw("WHEN"):
                     c = self.expr()
+                    if operand is not None:
+                        import copy
+                        c = BinOp("=", copy.deepcopy(operand), c)
                     self.expect_kw("THEN")
                     v = self.expr()
                     whens.append((c, v))
@@ -449,10 +511,17 @@ class Parser:
                 ty = self.next()
                 # types like DOUBLE PRECISION or BIGINT are idents/kws
                 tyname = str(ty.val).upper()
+                if self.at_op("("):  # length param: VARCHAR(60)
+                    self.next()
+                    self.next()  # the length literal
+                    self.expect_op(")")
                 self.expect_op(")")
                 return Cast(e, tyname)
             if t.val in ("LEFT", "ROW"):  # left(s, n) etc. as functions
                 pass
+        if t.kind == "IDENT" and str(t.val).lower() in ("true", "false"):
+            self.next()
+            return Lit(str(t.val).lower() == "true")
         if t.kind in ("IDENT", "KW"):
             self.next()
             name = str(t.val)
@@ -476,7 +545,7 @@ class Parser:
                 # HybridSQL function-style casts: bigint(x), int(x), ...
                 if (name.upper() in _CAST_FUNCS and len(args) == 1
                         and not distinct):
-                    return Cast(args[0], name.upper())
+                    return Cast(args[0], name.upper(), fn=True)
                 return Func(name.lower(), args, distinct, ignore_nulls)
             if self.at_op(".") :
                 self.next()

@@ -65,9 +65,13 @@ class Catalog:
         except Exception:
             return None
 
-    def load(self, name: str, columns: set[str]) -> ray.data.Dataset:
+    def load(self, name: str,
+             columns: set[str] | None) -> ray.data.Dataset:
+        """``columns=None`` means keep everything (SELECT *)."""
         if name in self.tables:
             ds = self.tables[name]
+            if columns is None:
+                return ds
             have = ds.schema().names
             want = [c for c in have if c in columns]
             return ds.select_columns(want) if want and len(want) < len(
@@ -76,6 +80,8 @@ class Catalog:
             raise ValueError(f"unknown table {name!r}")
         import pyarrow.parquet as pq
         path = f"{self.sf_dir}/{name}.parquet"
+        if columns is None:
+            return ray.data.read_parquet(path)
         have = pq.read_schema(path).names
         want = [c for c in have if c in columns] or None
         return ray.data.read_parquet(path, columns=want)
@@ -94,12 +100,25 @@ class Planner:
     # ----------------------------------------------------------- entry
     def plan(self, sel: Select) -> ray.data.Dataset:
         if self.dialect == "openmldb":
-            # OpenMLDB TIMESTAMP is epoch-ms int64 (the reference's
-            # storage type); timestamp()/cast-as-timestamp yield ms
+            # OpenMLDB TIMESTAMP is stored as epoch ms and rendered at
+            # the reference tz: casts go through the ms-unit path, and
+            # temporal extraction funcs see the tz-shifted wall clock
             from openmldb_ray.sql.ast import Cast
             for c in collect(sel, Cast):
                 if c.type == "TIMESTAMP":
                     c.type = "TIMESTAMP_MS"
+            _CST_FNS = {"year", "month", "day", "dayofmonth", "hour",
+                        "minute", "second", "dayofweek", "weekofyear",
+                        "dayofyear"}
+            for fn in collect(sel, Func):
+                if fn.name in _CST_FNS and fn.args and not (
+                        isinstance(fn.args[0], Func)
+                        and fn.args[0].name == "__cst__"):
+                    fn.args = ([Func("__cst__", [fn.args[0]])]
+                               + list(fn.args[1:]))
+            for b in collect(sel, BinOp):
+                if b.op in ("+", "-", "*", "/", "%", "DIV"):
+                    b.strict = True
         if sel.ctes:
             # CTEs become planned datasets in a scoped catalog layer
             scoped = dict(self.catalog.tables)
@@ -112,6 +131,9 @@ class Planner:
         # column name / source text) before any qualifier rewriting
         out_names = [self._out_name(it) for it in sel.items]
         cols_referenced = {c.name for c in collect(sel, Col)}
+        if any(isinstance(it.expr, Star) for it in sel.items):
+            # SELECT * keeps every column — disable scan pruning
+            cols_referenced = None
         ds, colset = self._from(sel.table, cols_referenced, sel)
         # alias scopes: qualified refs ({1}.c3 when both sides share
         # column names) resolve through the join's rename map
@@ -204,7 +226,7 @@ class Planner:
             raise ValueError(f"ambiguous join column {c.name!r}; "
                              "qualify it with a table alias")
 
-        eqs, ineq = _split_on(j.on)
+        eqs, ineq, residual = _split_on(j.on)
         on, right_on = [], []
         for a, b in eqs:
             la, lb = side(a), side(b)
@@ -217,7 +239,7 @@ class Planner:
             else:
                 raise ValueError(f"cannot resolve join keys {a} = {b}")
         if j.kind in ("left", "inner"):
-            if ineq:
+            if ineq or residual:
                 raise NotImplementedError("non-equi LEFT JOIN predicate")
             from openmldb_ray.joins.hash_join import hash_join
             out = hash_join(left, right, on=on, right_on=right_on,
@@ -256,10 +278,12 @@ class Planner:
             # (select * / {1}.key are addressable) — carry ALL right
             # columns as payload; collisions get the "_r" suffix
             payload = rnames if j.kind == "last" else None
+            cond = (_residual_condition(residual, side)
+                    if residual else None)
             out = last_join(left, right, on=on, right_on=right_on,
                             order_by=order_by, left_ts=left_ts,
                             descending=bool(descending),
-                            payload=payload)
+                            payload=payload, condition=cond)
         else:
             raise NotImplementedError(j.kind)
         if scopes is not None and r_alias:
@@ -704,8 +728,13 @@ def _add_columns(ds, derived: dict):
 
 def _split_on(e):
     """ON conjunction -> ([(colA, colB) equalities], [(a, b, op)
-    inequalities])."""
-    eqs, ineq = [], []
+    inequalities], [residual predicate exprs]).
+
+    Residuals (BETWEEN / IN / LIKE / comparisons against literals)
+    run as the join's non-equi condition over candidate pairs — the
+    reference compiles them into a row predicate
+    (nodes/JoinPlan.scala:108-143)."""
+    eqs, ineq, residual = [], [], []
 
     def walk(x):
         if isinstance(x, BinOp) and x.op == "AND":
@@ -720,9 +749,55 @@ def _split_on(e):
             if isinstance(x.l, Col) and isinstance(x.r, Col):
                 ineq.append((x.l, x.r, x.op))
                 return
-        raise ValueError(f"unsupported join predicate {x}")
+        residual.append(x)
     walk(e)
-    return eqs, ineq
+    return eqs, ineq, residual
+
+
+def _residual_condition(residuals, side):
+    """Build a last_join condition callable from residual ON
+    predicates: rewrite each column to a side-prefixed name, then
+    evaluate the conjunction vectorized over the candidate-pair
+    arrays (NULL -> no match)."""
+    import copy
+
+    def prefix(x):
+        if isinstance(x, Col):
+            tag = "l" if side(x) == "l" else "r"
+            return Col(f"__{tag}__{x.name}")
+        if hasattr(x, "__dataclass_fields__"):
+            x = copy.copy(x)
+            for f in x.__dataclass_fields__:
+                v = getattr(x, f)
+                if isinstance(v, list):
+                    setattr(x, f, [prefix(i) for i in v])
+                elif isinstance(v, tuple):
+                    setattr(x, f, tuple(prefix(i) for i in v))
+                else:
+                    setattr(x, f, prefix(v))
+        return x
+
+    exprs = [prefix(copy.deepcopy(r)) for r in residuals]
+
+    def cond(lcols: dict, rcols: dict):
+        import numpy as np
+        cols = {f"__l__{k}": pa.array(v, from_pandas=True)
+                for k, v in lcols.items()}
+        cols.update({f"__r__{k}": pa.array(v, from_pandas=True)
+                     for k, v in rcols.items()})
+        n = len(next(iter(cols.values()))) if cols else 0
+        t = pa.table(cols)
+        mask = np.ones(n, dtype=bool)
+        for ex in exprs:
+            m = eval_expr(ex, t)
+            if not hasattr(m, "to_numpy"):
+                m = pa.array([bool(m)] * n)
+            import pyarrow.compute as _pc
+            m = _pc.fill_null(m, False)
+            mask &= m.to_numpy(zero_copy_only=False).astype(bool)
+        return mask
+    cond.__name__ = "sql_join_condition"
+    return cond
 
 
 def sql(query: str, sf_dir: str | None = None,

@@ -25,9 +25,10 @@ _TYPES = {
     "smallint": pa.int16(), "int16": pa.int16(),
     "float": pa.float32(), "double": pa.float64(),
     "string": pa.string(),
-    # reference timestamps are epoch-ms ints; keep them int64 so the
-    # case's unit literals (2s == 2000 ms) line up
-    "timestamp": pa.int64(),
+    # reference timestamps: epoch-ms values with a real timestamp
+    # logical type (so type rules / casts / rendering see timestamps);
+    # case unit literals are rescaled to ms to match (run_case)
+    "timestamp": pa.timestamp("ms"),
     "date": pa.date32(),
     "bool": pa.bool_(), "boolean": pa.bool_(),
 }
@@ -39,16 +40,64 @@ def load_cases(path: str) -> dict:
     return {c["id"]: c for c in doc["cases"]}
 
 
+def expand_case(case: dict) -> list[tuple[str, dict]]:
+    """Expand a ``dataProvider`` templated case (the reference's
+    expression suites): each ``d[i]`` placeholder in the SQL takes one
+    value from provider list i; ``expectProvider`` (keyed by the first
+    provider's index, optionally nested by the second) overrides the
+    base ``expect`` per combination. Returns [(combo_label, case)]."""
+    import copy
+    import itertools
+    dp = case.get("dataProvider")
+    if not dp:
+        ep = case.get("expectProvider")
+        if isinstance(ep, dict) and 0 in ep:
+            # providerless cases sometimes park their rows under
+            # expectProvider[0] (expression/test_type.yaml id 2)
+            c = copy.deepcopy(case)
+            c.setdefault("expect", {}).update(copy.deepcopy(ep[0]))
+            return [("", c)]
+        return [("", case)]
+    out = []
+    for combo in itertools.product(*[range(len(lst)) for lst in dp]):
+        c = copy.deepcopy(case)
+        s = c["sql"]
+        for di, vi in enumerate(combo):
+            s = s.replace(f"d[{di}]", str(dp[di][vi]))
+        c["sql"] = s
+        exp = copy.deepcopy(case.get("expect", {}) or {})
+        node = case.get("expectProvider")
+        for vi in combo:
+            if isinstance(node, dict) and vi in node:
+                node = node[vi]
+            else:
+                break
+        if isinstance(node, dict) and ("rows" in node or "columns"
+                                       in node or "success" in node
+                                       or "data" in node):
+            exp.update(copy.deepcopy(node))
+        c["expect"] = exp
+        out.append(("-".join(str(dp[di][vi]) for di, vi
+                             in enumerate(combo)), c))
+    return out
+
+
 def _coerce(v, t: pa.DataType):
     if v is None:
         return None
+    if pa.types.is_timestamp(t):
+        return int(v)  # epoch ms; pa.array interprets per unit
     if t == pa.date32():
         if isinstance(v, str):
-            return _dt.date.fromisoformat(v)
+            y, m, d = (int(x) for x in v.split("-"))
+            return _dt.date(y, m, d)
         return v
     if pa.types.is_floating(t):
         return float(v)
     if pa.types.is_integer(t):
+        if isinstance(v, str) and v.strip("-+") in ("Infinity", "inf",
+                                                    "NaN"):
+            return float(v.replace("Infinity", "inf"))
         return int(v)
     if t == pa.bool_():
         if isinstance(v, str):
@@ -69,7 +118,11 @@ def _parse_spec(spec: dict):
             types.append(_TYPES[t.strip().lower()])
     else:
         for col in spec["columns"]:
-            n, t = col.rsplit(" ", 1)
+            # "name type" or "name:type" (both appear in the suites)
+            if " " in col.strip():
+                n, t = col.rsplit(" ", 1)
+            else:
+                n, t = col.strip().split(":")
             names.append(n.strip())
             types.append(_TYPES[t.strip().lower()])
     if "data" in spec:
@@ -122,7 +175,8 @@ def check_case(case: dict) -> None:
     got, expect = run_case(case)
     enames, etypes, rows = _parse_spec(expect)
     order = expect.get("order")
-    if order:
+    if order and (order in got.columns
+                  if isinstance(order, str) else True):
         got = got.sort_values(order, kind="stable")
     got = got.reset_index(drop=True)
 
@@ -143,8 +197,24 @@ def check_case(case: dict) -> None:
                     f"row {ri} col {n}: expected NULL, got {g!r}"
                 continue
             if isinstance(e, float):
-                assert g == g and abs(float(g) - e) <= 1e-4 * max(
-                    1.0, abs(e)), f"row {ri} col {n}: {g!r} != {e!r}"
+                if math.isnan(e):
+                    assert g is None or g != g, \
+                        f"row {ri} col {n}: {g!r} != NaN"
+                elif math.isinf(e):
+                    assert float(g) == e, \
+                        f"row {ri} col {n}: {g!r} != {e!r}"
+                else:
+                    assert g == g and abs(float(g) - e) <= 1e-4 * max(
+                        1.0, abs(e)), f"row {ri} col {n}: {g!r} != {e!r}"
+            elif pa.types.is_timestamp(t):
+                if hasattr(g, "value"):        # pandas Timestamp (ns)
+                    gv = int(g.value) // 1_000_000
+                elif hasattr(g, "astype"):     # numpy datetime64
+                    import pandas as pd
+                    gv = int(pd.Timestamp(g).value) // 1_000_000
+                else:
+                    gv = int(g)
+                assert gv == e, f"row {ri} col {n}: {g!r} != {e!r}"
             elif t == pa.date32():
                 gs = g.isoformat() if hasattr(g, "isoformat") else str(g)
                 assert gs[:10] == e.isoformat(), \

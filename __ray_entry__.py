@@ -359,9 +359,10 @@ def _q_scalar_datetime(sf_dir):
     ev = _read(sf_dir, "events", ["event_id", "ts"])
 
     def fn(t: pa.Table) -> pa.Table:
-        # DuckDB dayofweek: Sunday=0; Arrow day_of_week: Monday=0
+        # reference dayofweek: Sunday=1..Saturday=7 (udfs_8h.md);
+        # Arrow day_of_week: Monday=0 -> ((dw+1) % 7) + 1
         dw = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False)
-        dow = pa.array((dw + 1) % 7, type=pa.int64())
+        dow = pa.array((dw + 1) % 7 + 1, type=pa.int64())
         return pa.table({
             "event_id": t["event_id"],
             "y": pc.cast(pc.year(t["ts"]), pa.int64()),
@@ -1074,7 +1075,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_id,
                  year(ts) AS y, month(ts) AS mo, day(ts) AS d,
                  hour(ts) AS h, minute(ts) AS mi,
-                 dayofweek(ts) AS dow
+                 dayofweek(ts) + 1 AS dow
           FROM events""",
         "corpus_features": _CORPUS_CTE + "SELECT * FROM feats",
         "corpus_asof": _CORPUS_CTE + """

@@ -81,6 +81,9 @@ class _RightIndex:
         self.ts = ts[order] if ts is not None else None
         self.rows = {c: rt[c].to_numpy(zero_copy_only=False)[order]
                      for c in payload}
+        # numpy degrades nullable int/bool columns to float/object —
+        # remember the Arrow types so the emit side restores them
+        self.row_types = {c: rt.schema.field(c).type for c in payload}
         self.key_rows = {k: rt[k].to_numpy(zero_copy_only=False)[order]
                          for k in right_on} \
             if any(k not in payload for k in right_on) else {}
@@ -167,10 +170,12 @@ def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
         for c in idx.payload:
             out_name = c + suffix if c in batch.column_names else c
             names.append(out_name)
-            try:
-                t = pa.from_numpy_dtype(idx.rows[c].dtype)
-            except (pa.ArrowNotImplementedError, TypeError):
-                t = pa.string()
+            t = getattr(idx, "row_types", {}).get(c)
+            if t is None:
+                try:
+                    t = pa.from_numpy_dtype(idx.rows[c].dtype)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
             cols.append(pa.nulls(n, t))
         return pa.table(cols, names=names)
     keys = _keys_np(batch, on)
@@ -219,6 +224,11 @@ def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
     for c in idx.payload:
         vals = idx.rows[c][safe]
         arr = pa.array(vals, from_pandas=True)
+        want_t = getattr(idx, "row_types", {}).get(c)
+        if want_t is not None and arr.type != want_t:
+            # restore the right table's type (numpy degraded nullable
+            # ints/bools to float/object on the way through the index)
+            arr = arr.cast(want_t, safe=False)
         if not hit.all():
             arr = pa.compute.if_else(pa.array(hit), arr,
                                      pa.nulls(n, arr.type))

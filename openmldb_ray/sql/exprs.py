@@ -92,7 +92,7 @@ def _ts_ms(v, strict_str: bool = False):
             wall = pc.coalesce(wall, num)
         return pc.cast(wall, TS)
     if pa.types.is_timestamp(v.type):
-        return pc.cast(v, TS)
+        return pc.cast(_ts_epoch_ms(v), TS)  # unit-safe (us truncates)
     if pa.types.is_date(v.type):
         # local midnight of that date -> epoch ms at the reference tz
         ts = pc.cast(pc.cast(v, pa.timestamp("ms")), pa.int64())
@@ -188,9 +188,22 @@ def _num(a):
     return a
 
 
+def _ts_epoch_ms(v):
+    """Timestamp (any unit) -> epoch ms int64, truncating sub-ms."""
+    t = getattr(v, "type", None)
+    iv = pc.cast(v, pa.int64())
+    unit = t.unit if t is not None and pa.types.is_timestamp(t) else "ms"
+    if unit == "s":
+        return pc.multiply(iv, pa.scalar(1000, pa.int64()))
+    if unit == "ms":
+        return iv
+    div = 1000 if unit == "us" else 1_000_000
+    return pc.divide(iv, pa.scalar(div, pa.int64()))
+
+
 def _ts_shift(v):
     """Timestamp -> wall-clock at the reference tz, ms unit."""
-    ms = pc.cast(pc.cast(v, pa.timestamp("ms")), pa.int64())
+    ms = _ts_epoch_ms(v)
     return pc.cast(pc.add(ms, pa.scalar(OPENMLDB_TZ_OFFSET_MS,
                                         pa.int64())),
                    pa.timestamp("ms"))
@@ -204,6 +217,100 @@ def _ts_to_string(v):
     secs = pc.cast(pc.divide(pc.cast(_ts_shift(v), pa.int64()), 1000),
                    pa.timestamp("s"))
     return pc.strftime(secs, format="%Y-%m-%d %H:%M:%S")
+
+
+def _log(a, b=None):
+    """log(x) = ln(x); log(base, x) (udfs_8h.md log)."""
+    if b is None:
+        return pc.ln(_num(a))
+    return pc.divide(pc.ln(_num(b)), pc.ln(_num(a)))
+
+
+def _date_format(v, fmt):
+    """date_format(ts|date, fmt) — wall-clock rendering at the
+    reference tz (function/test_date.yaml id 0); other argument types
+    are compile errors (id 1)."""
+    fmt = str(_scalar(fmt))
+    t = getattr(v, "type", None)
+    if t is not None and pa.types.is_timestamp(t):
+        secs = pc.cast(pc.divide(pc.cast(_ts_shift(v), pa.int64()),
+                                 1000), pa.timestamp("s"))
+        return pc.strftime(secs, format=fmt)
+    if t is not None and pa.types.is_date(t):
+        return pc.strftime(pc.cast(v, pa.timestamp("s")), format=fmt)
+    raise ValueError("date_format requires a timestamp or date")
+
+
+def _canon_str(v):
+    """Canonical string rendering for concat/|| (timestamps at the
+    reference tz wall clock, bools as true/false)."""
+    t = getattr(v, "type", None)
+    if t is None:
+        if v is None:
+            return pa.scalar(None, pa.string())
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float) and float(v).is_integer():
+            return str(v)  # keep '30.0' style? match str()
+        return str(v)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return v
+    if pa.types.is_timestamp(t):
+        return _ts_to_string(v)
+    return pc.cast(v, pa.string())
+
+
+def _concat_render(sep, *args):
+    """concat / concat_ws with canonical per-type rendering
+    (function/test_string.yaml ids 0-3); any NULL argument (or NULL
+    separator) nulls the row. The separator may itself be a column
+    (id 3 uses numeric separator columns — rendered too)."""
+    arrs = [_canon_str(x) for x in args]
+    if sep is None:
+        sep_r = ""
+    elif hasattr(sep, "type") and not isinstance(sep, pa.Scalar):
+        sep_r = _canon_str(sep)          # column-valued separator
+    else:
+        s = _scalar(sep)
+        if s is None:
+            n = max((len(a) for a in arrs if hasattr(a, "__len__")),
+                    default=1)
+            return pa.nulls(n, pa.string())
+        sep_r = _canon_str(s) if not isinstance(s, str) else s
+    return pc.binary_join_element_wise(
+        *arrs, sep_r, null_handling="emit_null")
+
+
+def _substring(a, s, ln=None):
+    """SQL substring (1-based; negative start counts from the end);
+    supports column-valued start/length (test_udf_function.yaml 0-1)."""
+    from openmldb_ray.functions import scalar as F
+    if not (hasattr(s, "__len__") or hasattr(ln, "__len__")
+            or isinstance(s, (pa.Array, pa.ChunkedArray))
+            or isinstance(ln, (pa.Array, pa.ChunkedArray))):
+        return F.substring(a, int(_scalar(s)),
+                           None if ln is None else int(_scalar(ln)))
+    av = a.to_pylist() if hasattr(a, "to_pylist") else list(a)
+    n = len(av)
+
+    def vec(x):
+        if hasattr(x, "to_pylist"):
+            return x.to_pylist()
+        if x is None or isinstance(x, (int, np.integer)):
+            return [None if x is None else int(x)] * n
+        return list(x)
+    sv, lv = vec(s), vec(ln)
+    out = []
+    for i in range(n):
+        x, p = av[i], sv[i]
+        ll = lv[i] if ln is not None else None
+        if x is None or p is None or (ln is not None and ll is None):
+            out.append(None)
+            continue
+        p0 = int(p) - 1 if int(p) > 0 else len(x) + int(p)
+        p0 = max(p0, 0)
+        out.append(x[p0:] if ll is None else x[p0:p0 + int(ll)])
+    return pa.array(out, type=pa.string())
 
 
 def _ifnull(a, b):
@@ -347,8 +454,29 @@ def _mod(a, b):
 
 
 def _dayofweek(a):
+    """Reference dayofweek: Sunday=1 .. Saturday=7 (null-safe)."""
     dw = pc.day_of_week(a)  # Monday=0
-    return pc.cast(_mod(pc.add(dw, 1), 7), pa.int64())
+    plus = pc.add(dw, 1)
+    wrapped = pc.if_else(pc.equal(plus, 7), pa.scalar(0), plus)
+    return pc.cast(pc.add(wrapped, 1), pa.int64())
+
+
+def _reject_bool(v, name: str):
+    t = getattr(v, "type", None)
+    if (t is not None and pa.types.is_boolean(t)) or isinstance(v, bool):
+        raise ValueError(f"{name} is not defined for bool operands")
+    return v
+
+
+def _mathnum(v):
+    """Math functions accept bool as a number (abs(true) = 1.0,
+    function/test_calculate.yaml id 0)."""
+    t = getattr(v, "type", None)
+    if t is not None and pa.types.is_boolean(t):
+        return pc.cast(v, pa.float64())
+    if isinstance(v, bool):
+        return float(v)
+    return v
 
 
 def _round_sql(x, n=0):
@@ -375,14 +503,19 @@ def _sql_funcs():
         "lcase": F.lower, "reverse": F.reverse,
         "length": F.char_length, "char_length": F.char_length,
         "len": F.char_length,
-        "substring": lambda a, s, ln=None: F.substring(
-            a, int(_scalar(s)), None if ln is None else int(_scalar(ln))),
-        "substr": lambda a, s, ln=None: F.substring(
-            a, int(_scalar(s)), None if ln is None else int(_scalar(ln))),
-        "abs": pc.abs, "ceil": pc.ceil, "ceiling": pc.ceil,
-        "floor": pc.floor, "exp": pc.exp, "sqrt": pc.sqrt,
-        "ln": pc.ln, "log": pc.ln, "log2": pc.log2, "log10": pc.log10,
-        "round": _round_sql,
+        "substring": _substring,
+        "substr": _substring,
+        "abs": lambda a: pc.abs(_mathnum(a)),
+        "ceil": lambda a: pc.ceil(_mathnum(a)),
+        "ceiling": lambda a: pc.ceil(_mathnum(a)),
+        "floor": lambda a: pc.floor(_mathnum(a)),
+        # trig/sqrt/log reject bool operands (test_calculate.yaml id 8)
+        # while abs/ceil/floor/round/truncate accept them (ids 0, 5)
+        "exp": pc.exp, "sqrt": pc.sqrt, "ln": pc.ln,
+        "log": _log, "log2": pc.log2, "log10": pc.log10,
+        "round": lambda x, nd=0: _round_sql(_mathnum(x), nd),
+        "acos": pc.acos, "asin": pc.asin, "atan": pc.atan,
+        "cot": lambda a: pc.divide(1.0, pc.tan(_reject_bool(a, "cot"))),
         "pow": lambda a, b: pc.power(_num(a), _num(b)),
         "power": lambda a, b: pc.power(_num(a), _num(b)),
         "sin": pc.sin, "cos": pc.cos, "tan": pc.tan,
@@ -404,35 +537,72 @@ def _sql_funcs():
                                              str(_scalar(p))),
         "replace": lambda a, x, y: pc.replace_substring(
             a, pattern=str(_scalar(x)), replacement=str(_scalar(y))),
-        "concat": F.concat,
-        "concat_ws": lambda s, *a: F.concat_ws(str(_scalar(s)), *a),
+        "concat": lambda *a: _concat_render(None, *a),
+        "concat_ws": lambda s, *a: _concat_render(s, *a),
         "year": lambda a: pc.cast(pc.year(_temporal(a)), pa.int64()),
         "month": lambda a: pc.cast(pc.month(_temporal(a)), pa.int64()),
         "day": lambda a: pc.cast(pc.day(_temporal(a)), pa.int64()),
         "dayofmonth": lambda a: pc.cast(pc.day(_temporal(a)),
                                         pa.int64()),
-        "hour": lambda a: pc.cast(pc.hour(_temporal(a)), pa.int64()),
-        "minute": lambda a: pc.cast(pc.minute(_temporal(a)),
+        "hour": lambda a: pc.cast(pc.hour(_temporal(a, False)),
+                                  pa.int64()),
+        "minute": lambda a: pc.cast(pc.minute(_temporal(a, False)),
                                     pa.int64()),
-        "second": lambda a: pc.cast(pc.second(_temporal(a)),
+        "second": lambda a: pc.cast(pc.second(_temporal(a, False)),
                                     pa.int64()),
         "dayofweek": lambda a: _dayofweek(_temporal(a)),
         "weekofyear": lambda a: pc.cast(pc.iso_week(_temporal(a)),
                                         pa.int64()),
+        "week": lambda a: pc.cast(pc.iso_week(_temporal(a)),
+                                  pa.int64()),
         "dayofyear": lambda a: pc.cast(pc.day_of_year(_temporal(a)),
                                        pa.int64()),
+        "date_format": _date_format,
+        "truncate": lambda a: pc.trunc(_num(_mathnum(a))),
+        "mod": _mod,
+        "strcmp": _strcmp,
     }
 
 
-def _temporal(a):
-    """Temporal functions also accept epoch-ms int64 values (the
-    reference's timestamp storage type)."""
+def _strcmp(a, b):
+    """strcmp(string, string) -> -1/0/1, NULL-propagating; non-string
+    arguments are compile errors (function/test_string.yaml ids 4-6)."""
+    for v in (a, b):
+        t = getattr(v, "type", None)
+        if t is not None:
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                raise ValueError("strcmp requires string arguments")
+        elif v is not None and not isinstance(v, str):
+            raise ValueError("strcmp requires string arguments")
+    return pc.if_else(pc.less(a, b), pa.scalar(-1, pa.int32()),
+                      pc.if_else(pc.greater(a, b),
+                                 pa.scalar(1, pa.int32()),
+                                 pa.scalar(0, pa.int32())))
+
+
+def _temporal(a, allow_date: bool = True):
+    """Temporal functions accept timestamp, date, and epoch-ms BIGINT
+    only (function/test_date.yaml id 3: day(smallint/int/float/string/
+    bool) is a compile error; id 5: hour/minute reject date too)."""
     t = getattr(a, "type", None)
-    if t is not None and pa.types.is_integer(t):
-        return pc.cast(pc.cast(a, pa.int64()), pa.timestamp("ms"))
+    if t is not None:
+        if pa.types.is_timestamp(t):
+            return a
+        if pa.types.is_date(t):
+            if allow_date:
+                return a
+            raise ValueError(
+                "this temporal function does not accept date values")
+        if t == pa.int64():
+            return pc.cast(pc.cast(a, pa.int64()), pa.timestamp("ms"))
+        raise ValueError(
+            f"temporal function requires timestamp/date/bigint, got {t}")
+    if isinstance(a, bool):
+        raise ValueError("temporal function requires "
+                         "timestamp/date/bigint, got bool")
     if isinstance(a, (int, np.integer)):
         return pa.scalar(int(a), pa.timestamp("ms"))
-    return a
+    raise ValueError("temporal function requires timestamp/date/bigint")
 
 
 def _cst(a):
@@ -555,7 +725,7 @@ def eval_expr(e, tbl: pa.Table):
                 return pa.nulls(len(arr), arr.type)
             return fn(l, r)
         if op == "||":
-            return _strcat(l, r)
+            return _concat_render(None, l, r)
         cmps = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
                 "<=": pc.less_equal, ">": pc.greater,
                 ">=": pc.greater_equal}
@@ -698,8 +868,7 @@ def eval_expr(e, tbl: pa.Table):
             if pa.types.is_boolean(ty):
                 return pc.not_equal(pc.cast(v, pa.int64()), 0)
             if pa.types.is_integer(ty) or pa.types.is_floating(ty):
-                ms = pc.cast(pc.cast(v, pa.timestamp("ms")), pa.int64())
-                return pc.cast(ms, ty, safe=False)
+                return pc.cast(_ts_epoch_ms(v), ty, safe=False)
         if pa.types.is_integer(v.type) and ty == pa.date32():
             # integers never cast to date (test_type.yaml ids 4, 26-28)
             raise ValueError("cannot cast an integer to date")

@@ -310,14 +310,14 @@ class Planner:
 
         def walk(x):
             if isinstance(x, WinCall):
-                if x.func.name == "identity":
-                    # identity(expr) OVER w: the reference evaluates a
-                    # row expression whose nested window funcs bind to
-                    # w (test_window_union.yaml id 16). Lift each
-                    # nested window-func call to its own WinCall over
-                    # the same window; the wrapper becomes a plain
+                if not _is_window_fn(x.func.name):
+                    # scalar wrapper over window funcs: identity(expr)
+                    # OVER w (test_window_union.yaml id 16),
+                    # abs(sum(c)) OVER w, isnull(lag(c)) OVER w
+                    # (test_udaf_function.yaml 42/49). Nested window
+                    # funcs bind to w; the wrapper becomes a plain
                     # post-window projection.
-                    return walk(_bind_window(x.func.args[0], x))
+                    return walk(_bind_window(x.func, x))
                 nm = self._name("w")
                 wins.append((nm, x))
                 return Col(nm)
@@ -419,6 +419,56 @@ class Planner:
                 f"window ORDER BY column {sort_cols[0]!r} has type {t}; "
                 "the reference requires an integer or timestamp order "
                 "key (error_window.yaml ids 4-7)")
+        if self.dialect != "openmldb":
+            return
+
+        def kindof(c):
+            tt = have[c]
+            if pa.types.is_floating(tt):
+                return "float"
+            if pa.types.is_timestamp(tt):
+                return "ts"
+            if pa.types.is_date(tt):
+                return "date"
+            if pa.types.is_boolean(tt):
+                return "bool"
+            if pa.types.is_string(tt) or pa.types.is_large_string(tt):
+                return "str"
+            return "int"
+        # argument-type rules (function/test_udaf_function.yaml):
+        # - *_cate / *_where values must be numeric (ids 18/19/26);
+        # - cate keys must not be float/double/bool (id 25);
+        # - avg rejects timestamp/date (ids 8/11), sum accepts
+        #   timestamp (id 7) but not date (id 9)
+        for a in aggs:
+            base = a.func[:-6] if a.func.endswith("_where") else a.func
+            if a.cate is not None:
+                if a.col and kindof(a.col) not in ("int", "float"):
+                    raise ValueError(
+                        f"{a.func} value column {a.col!r} must be "
+                        f"numeric, got {have[a.col]}")
+                if kindof(a.cate) in ("float", "bool"):
+                    raise ValueError(
+                        f"{a.func} category column {a.cate!r} cannot "
+                        f"be {have[a.cate]}")
+            elif a.func == "count_where" and a.col:
+                # counting accepts any non-bool value (ids 17 vs 19)
+                if kindof(a.col) == "bool":
+                    raise ValueError(
+                        "count_where value column cannot be bool")
+            elif a.func.endswith("_where") and a.col:
+                if kindof(a.col) not in ("int", "float"):
+                    raise ValueError(
+                        f"{a.func} value column {a.col!r} must be "
+                        f"numeric, got {have[a.col]}")
+            elif base == "avg" and a.col and kindof(a.col) in ("ts",
+                                                               "date"):
+                raise ValueError(
+                    f"avg over {have[a.col]} is not defined")
+            elif base in ("sum", "sum_zero") and a.col \
+                    and kindof(a.col) in ("date", "str", "bool"):
+                raise ValueError(
+                    f"sum over {have[a.col]} is not defined")
 
     def _window_spec(self, wd: WindowDef):
         derived: dict = {}
@@ -538,6 +588,25 @@ class Planner:
                 continue
             if name in ("distinct_count", "top1_ratio"):
                 aggs.append(Agg(name, argcol(fn.args[0]), nm))
+                continue
+            if name == "count_where" and fn.args \
+                    and isinstance(fn.args[0], Star):
+                aggs.append(Agg("count_where", None, nm,
+                                where=argcol(fn.args[1])))
+                continue
+            if name in ("sum_where", "count_where", "avg_where",
+                        "min_where", "max_where"):
+                aggs.append(Agg(name, argcol(fn.args[0]), nm,
+                                where=argcol(fn.args[1])))
+                continue
+            if name.endswith("_cate_where"):
+                # f(value, condition, category[, n]) — udfs_8h.md
+                kw = {}
+                if name.startswith("top_n_key_"):
+                    kw["k"] = int(const_eval(fn.args[3]))
+                aggs.append(Agg(name, argcol(fn.args[0]), nm,
+                                where=argcol(fn.args[1]),
+                                cate=argcol(fn.args[2]), **kw))
                 continue
             if name in ("top", "topn_frequency"):
                 k = int(const_eval(fn.args[1]))
@@ -659,11 +728,16 @@ _WINDOW_FUNC_NAMES = (_WIN_DIRECT
                          ("sum", "count", "min", "max", "avg")})
 
 
+def _is_window_fn(name: str) -> bool:
+    return (name in _WINDOW_FUNC_NAMES
+            or name.endswith("_cate") or name.endswith("_cate_where"))
+
+
 def _bind_window(e, wc: WinCall):
     """Rewrite bare window-func calls inside ``e`` to WinCalls bound
     to ``wc``'s window (identity(...) OVER w lifting)."""
     import copy
-    if isinstance(e, Func) and e.name in _WINDOW_FUNC_NAMES:
+    if isinstance(e, Func) and _is_window_fn(e.name):
         return WinCall(e, wc.window, wc.inline)
     if hasattr(e, "__dataclass_fields__"):
         e = copy.copy(e)

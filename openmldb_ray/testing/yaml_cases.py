@@ -207,13 +207,15 @@ def check_case(case: dict) -> None:
                     assert g == g and abs(float(g) - e) <= 1e-4 * max(
                         1.0, abs(e)), f"row {ri} col {n}: {g!r} != {e!r}"
             elif pa.types.is_timestamp(t):
-                if hasattr(g, "value"):        # pandas Timestamp (ns)
+                if isinstance(g, (int, float)) or (
+                        hasattr(g, "dtype")
+                        and getattr(g.dtype, "kind", "") in "if"):
+                    gv = int(round(float(g)))  # engine emitted epoch ms
+                elif hasattr(g, "value"):      # pandas Timestamp (ns)
                     gv = int(g.value) // 1_000_000
-                elif hasattr(g, "astype"):     # numpy datetime64
+                else:                          # numpy datetime64 etc.
                     import pandas as pd
                     gv = int(pd.Timestamp(g).value) // 1_000_000
-                else:
-                    gv = int(g)
                 assert gv == e, f"row {ri} col {n}: {g!r} != {e!r}"
             elif t == pa.date32():
                 gs = g.isoformat() if hasattr(g, "isoformat") else str(g)

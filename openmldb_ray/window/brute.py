@@ -94,11 +94,12 @@ def eval_brute(
             f = a.func
             base = f[:-6] if f.endswith("_where") else f
             if base in ("lag", "at"):
+                # pure buffer offset, frame-independent except MAXSIZE
                 buf = _buffer(i, ts, spec, is_primary)
                 pb = len(buf) - 1 - a.k  # k buffer rows before instance
-                p = buf[pb] if pb >= 0 else -1
-                frame_ok = p >= 0 and p in idxs
-                out[a.name][i] = values[a.col][p] if frame_ok else np.nan
+                ok = pb >= 0 and not (spec.max_size
+                                      and a.k > spec.max_size)
+                out[a.name][i] = values[a.col][buf[pb]] if ok else np.nan
                 continue
             if base == "first_value":
                 out[a.name][i] = values[a.col][idxs[-1]] if idxs else np.nan
@@ -109,8 +110,18 @@ def eval_brute(
             if base == "row_number":
                 out[a.name][i] = int(np.sum(is_primary[: i + 1]))
                 continue
-            if base == "count" and a.col is None and a.where is None:
-                out[a.name][i] = len(idxs)
+            if base == "count" and a.col is None:
+                if a.where is None:
+                    out[a.name][i] = len(idxs)
+                else:
+                    ok = 0
+                    for j in idxs:
+                        w = values[a.where][j]
+                        if w is not None and not (
+                                isinstance(w, float) and math.isnan(w)
+                        ) and bool(w):
+                            ok += 1
+                    out[a.name][i] = ok
                 continue
             if "_cate" in base:
                 kind = base[:-5]
@@ -119,8 +130,11 @@ def eval_brute(
                     c = values[a.cate][j]
                     if c is None or (isinstance(c, float) and math.isnan(c)):
                         continue
-                    if f.endswith("_where") and not bool(values[a.where][j]):
-                        continue
+                    w = values[a.where][j] if f.endswith("_where") else True
+                    if w is None or (isinstance(w, float)
+                                     and math.isnan(w)) or not bool(w):
+                        if f.endswith("_where"):
+                            continue
                     v = values[a.col][j] if a.col else 1.0
                     if isinstance(v, float) and math.isnan(v):
                         continue
@@ -131,15 +145,21 @@ def eval_brute(
                 out.setdefault(a.name, np.empty(n, dtype=object))
                 out[a.name] = out[a.name].astype(object)
                 out[a.name][i] = ",".join(
-                    f"{_fmt(k)}:{_fmt(red(groups[k]))}"
+                    f"{_fmt(k)}:"
+                    f"{_fmt(red(groups[k]), None, kind == 'avg')}"
                     for k in sorted(groups))
                 continue
             vals = []
+            nulls_seen = 0
             for j in idxs:
                 v = values[a.col][j]
+                w = values[a.where][j] if f.endswith("_where") else True
+                if w is None or (isinstance(w, float) and math.isnan(w)) \
+                        or not bool(w):
+                    if f.endswith("_where"):
+                        continue
                 if isinstance(v, float) and math.isnan(v):
-                    continue
-                if f.endswith("_where") and not bool(values[a.where][j]):
+                    nulls_seen += 1
                     continue
                 vals.append(v)
             if base == "count":
@@ -153,7 +173,8 @@ def eval_brute(
             elif base == "max":
                 out[a.name][i] = max(vals) if vals else np.nan
             elif base == "distinct_count":
-                out[a.name][i] = len(set(vals))
+                # NULL counts as one distinct value (udaf id 5)
+                out[a.name][i] = len(set(vals)) + (1 if nulls_seen else 0)
             elif base == "top":
                 from openmldb_ray.window.kernel import _fmt
                 out[a.name] = out[a.name].astype(object)

@@ -193,22 +193,54 @@ def _combine_self(hist: np.ndarray, selfv: np.ndarray, self_in: np.ndarray, op):
 # ---------------------------------------------------------------- aggregation
 
 
+def _wmask(arr: np.ndarray) -> np.ndarray:
+    """Where-condition column -> bool mask with NULL as False (a NULL
+    condition never matches, test_udaf_function.yaml id 45)."""
+    if arr.dtype == object:
+        return np.array([bool(x) and x == x if x is not None else False
+                         for x in arr], dtype=bool)
+    return np.nan_to_num(arr, nan=0.0).astype(bool)
+
+
 def _isnull(x) -> bool:
     if x is None:
         return True
     return isinstance(x, float) and np.isnan(x)
 
 
-def _fmt(x) -> str:
-    """Value formatting for string-emitting aggs (top / *_cate): integral
-    values render as ints (matches the reference for int columns; float
-    rendering is best-effort %g)."""
+def _fmt(x, kind: str | None = None, force_float: bool = False) -> str:
+    """Value formatting for string-emitting aggs (top / *_cate),
+    following the reference's renderings (test_udaf_function.yaml
+    20-24): float/double values and avg results use '%.6f', integers
+    '%d', timestamps/dates their wall-clock strings. ``kind`` is the
+    SOURCE column kind ('int'/'float'/'ts'/'date'/'bool'/'str');
+    without it, integral floats render as ints (legacy best-effort)."""
     if isinstance(x, str):
         return x
+    if kind == "ts":
+        import datetime as _dt
+        dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            milliseconds=int(x) + _tz_offset_ms())
+        return dt.strftime("%Y-%m-%d %H:%M:%S")
+    if kind == "date":
+        import datetime as _dt
+        return (_dt.date(1970, 1, 1)
+                + _dt.timedelta(days=int(x))).isoformat()
+    if kind == "bool":
+        return "true" if x else "false"
     f = float(x)
+    if force_float or kind == "float":
+        return f"{f:.6f}"
+    if kind == "int":
+        return str(int(f))
     if f.is_integer():
         return str(int(f))
     return f"{f:g}"
+
+
+def _tz_offset_ms() -> int:
+    from openmldb_ray.sql.exprs import OPENMLDB_TZ_OFFSET_MS
+    return OPENMLDB_TZ_OFFSET_MS
 
 
 def _frame_items(hv: np.ndarray, start, hist_end, self_in, i,
@@ -238,12 +270,15 @@ def eval_aggs(
     aggs: list[Agg],
     spec: WindowSpec,
     is_primary: np.ndarray | None = None,
+    col_kinds: dict[str, str] | None = None,
 ) -> dict[str, np.ndarray]:
     """Evaluate all aggregates for one sorted run.
 
     ``values[col]`` must be float64 with NaN for NULL (callers convert);
-    ``where`` columns are bool. Returns full-length arrays (callers mask
-    non-primary rows out).
+    ``where`` columns are bool. ``col_kinds`` maps columns to their
+    source kind ('int'/'float'/'ts'/...) for string-emitting agg
+    rendering. Returns full-length arrays (callers mask non-primary
+    rows out).
     """
     n = len(ts)
     inw = spec.instance_not_in_window
@@ -256,8 +291,10 @@ def eval_aggs(
         start, hist_end, self_in, bpos = frame_bounds(ts, spec)
         if inw:
             # no union rows in this run: the buffer holds only the
-            # instance itself
+            # instance itself — empty history AND zero buffer position
+            # (lag(k>=1) is NULL)
             hist_end = start.copy()
+            bpos = np.zeros(n, dtype=np.int64)
         hvalues = values
     out: dict[str, np.ndarray] = {}
 
@@ -277,7 +314,7 @@ def eval_aggs(
             v = hvalues[col]
             ok = notnull(v)
             if where is not None:
-                ok = ok & hvalues[where].astype(bool)
+                ok = ok & _wmask(hvalues[where])
             filled = np.where(ok, v, 0.0) if v.dtype != object else None
             psum = (np.concatenate(([0.0], np.cumsum(filled)))
                     if filled is not None else None)
@@ -290,8 +327,8 @@ def eval_aggs(
         if where is None:
             return v
         if v.dtype == object:
-            return np.where(vals[where].astype(bool), v, None)
-        return np.where(vals[where].astype(bool), v, np.nan)
+            return np.where(_wmask(vals[where]), v, None)
+        return np.where(_wmask(vals[where]), v, np.nan)
 
     def where_items(col: str, where: str | None, i) -> list:
         """Non-null (+ where-passing) frame values of row i (generic
@@ -310,13 +347,21 @@ def eval_aggs(
             # count(*): frame row count
             cnt = (hist_end - start) + self_in.astype(np.int64)
             out[a.name] = cnt.astype(np.float64)
+        elif base == "count" and a.col is None:
+            # count_where(*, cond): condition-passing frame row count
+            wm_h = _wmask(hvalues[where])
+            pw = np.concatenate(([0], np.cumsum(wm_h.astype(np.int64))))
+            hcnt = pw[hist_end] - pw[start]
+            sok = self_in & _wmask(values[where])
+            out[a.name] = (hcnt + sok.astype(np.int64)).astype(
+                np.float64)
         elif base == "count":
             _, pcnt = prefixes(a.col, where)
             hcnt = pcnt[hist_end] - pcnt[start]
             v = values[a.col]
             sok = self_in & notnull(v)
             if where is not None:
-                sok = sok & values[where].astype(bool)
+                sok = sok & _wmask(values[where])
             out[a.name] = (hcnt + sok.astype(np.int64)).astype(np.float64)
         elif base in ("sum", "sum_zero", "avg"):
             if values[a.col].dtype == object:
@@ -328,7 +373,7 @@ def eval_aggs(
             v = values[a.col]
             sok = self_in & notnull(v)
             if where is not None:
-                sok = sok & values[where].astype(bool)
+                sok = sok & _wmask(values[where])
             tsum = hsum + np.where(sok, np.nan_to_num(v), 0.0)
             tcnt = hcnt + sok.astype(np.int64)
             if base == "sum_zero":
@@ -370,26 +415,41 @@ def eval_aggs(
             selfv = np.where(self_in, smv, np.nan)
             out[a.name] = _combine_self(hist, selfv, self_in, op)
         elif base == "distinct_count":
+            # NULL counts as one distinct value — except over bool
+            # columns (test_udaf_function.yaml ids 5 vs 6)
             v = values[a.col]
             hv = hvalues[a.col]
+            null_counts = (col_kinds or {}).get(a.col) != "bool"
             res = np.zeros(n, dtype=np.float64)
             for i in range(n):
-                res[i] = len(set(_frame_items(hv, start, hist_end,
-                                              self_in, i, v)))
+                sl = hv[start[i]:hist_end[i]].tolist()
+                if self_in[i]:
+                    sl.append(v[i])
+                nn = [x for x in sl if not _isnull(x)]
+                res[i] = len(set(nn)) + (1 if null_counts
+                                         and len(nn) < len(sl) else 0)
             out[a.name] = res
         elif base in ("lag", "at"):
-            # value k buffer-rows before the current row, NULL outside the
-            # frame (window_functions_def.cc:96-156; lag aliases at :146)
-            pos = bpos - a.k
-            in_hist = (pos >= start) & (pos < hist_end)
+            # value k buffer-rows before the current row — pure buffer
+            # offset, INDEPENDENT of the frame bounds except MAXSIZE
+            # eviction (window_functions_def.cc:96-156; lag aliases at
+            # :146; test_udaf_function.yaml 57-60: lag works under
+            # end-offset frames and lag(0) is always the instance row)
             v = values[a.col]
             hv = hvalues[a.col]
             res = (np.full(n, None, dtype=object) if v.dtype == object
                    else np.full(n, np.nan))
-            if in_hist.any():
-                res[in_hist] = hv[pos[in_hist]]
             if a.k == 0:
-                res[self_in] = v[self_in]
+                res[:] = v
+            else:
+                pos = bpos - a.k
+                ok = pos >= 0
+                if spec.max_size and spec.max_size > 0:
+                    ok &= pos >= (bpos - spec.max_size)
+                m = len(hv)
+                ok &= pos < m
+                if ok.any():
+                    res[ok] = hv[pos[ok]]
             out[a.name] = res
         elif base == "lead":
             # SQL lead: value k rows AFTER the current row within the
@@ -424,7 +484,7 @@ def eval_aggs(
             hv = hvalues[a.col]
             hok = notnull(hv)
             if where is not None:
-                hok = hok & hvalues[where].astype(bool)
+                hok = hok & _wmask(hvalues[where])
             m = len(hv)
             running = np.maximum.accumulate(
                 np.where(hok, np.arange(m, dtype=np.int64), -1)) \
@@ -441,7 +501,7 @@ def eval_aggs(
                 res[got] = hv[p_hist[got]]
             sok = self_in & notnull(v)
             if where is not None:
-                sok = sok & values[where].astype(bool)
+                sok = sok & _wmask(values[where])
             res[sok] = v[sok]  # the instance is always the newest row
             out[a.name] = res
         elif base == "last_value_in_frame":
@@ -468,15 +528,21 @@ def eval_aggs(
             v = values[a.col]
             hv = hvalues[a.col]
             res = np.empty(n, dtype=object)
+            # top renders values with the legacy best-effort format
+            # (temporal kinds still get their canonical strings)
+            vk = (col_kinds or {}).get(a.col)
+            vk = vk if vk in ("ts", "date", "bool") else None
             for i in range(n):
                 items = _frame_items(hv, start, hist_end, self_in, i, v)
                 items.sort(reverse=True)
-                res[i] = ",".join(_fmt(x) for x in items[: a.k])
+                res[i] = ",".join(_fmt(x, vk) for x in items[: a.k])
             out[a.name] = res
         elif base == "topn_frequency":
             # top-n values by frequency, ties by larger value first
             v = values[a.col]
             hv = hvalues[a.col]
+            vk = (col_kinds or {}).get(a.col)
+            vk = vk if vk in ("ts", "date", "bool") else None
             res = np.empty(n, dtype=object)
             for i in range(n):
                 items = _frame_items(hv, start, hist_end, self_in, i, v)
@@ -487,7 +553,7 @@ def eval_aggs(
                     # count desc, then value desc (string-safe)
                     ordered = sorted(counts, reverse=True)
                     ordered.sort(key=counts.get, reverse=True)
-                    res[i] = ",".join(_fmt(x) for x in ordered[: a.k])
+                    res[i] = ",".join(_fmt(x, vk) for x in ordered[: a.k])
                 else:
                     res[i] = ""
             out[a.name] = res
@@ -500,10 +566,10 @@ def eval_aggs(
                 else base[: -5]
             v = values[a.col] if a.col else None
             cate = values[a.cate]
-            where = values[a.where].astype(bool) if a.where else None
+            where = _wmask(values[a.where]) if a.where else None
             hv = hvalues[a.col] if a.col else None
             hcate = hvalues[a.cate]
-            hwhere = hvalues[a.where].astype(bool) if a.where else None
+            hwhere = _wmask(hvalues[a.where]) if a.where else None
             res = np.empty(n, dtype=object)
             for i in range(n):
                 # (cate, value, where) triples: history then self
@@ -522,6 +588,9 @@ def eval_aggs(
                     groups.setdefault(c, []).append(val)
                 keys_sorted = (sorted(groups, reverse=True)[: a.k]
                                if top_n_key else sorted(groups))
+                kkind = (col_kinds or {}).get(a.cate)
+                vkind = ("int" if agg_kind == "count"
+                         else (col_kinds or {}).get(a.col))
                 parts = []
                 for k in keys_sorted:
                     g = groups[k]
@@ -535,7 +604,8 @@ def eval_aggs(
                         r = min(g)
                     else:
                         r = max(g)
-                    parts.append(f"{_fmt(k)}:{_fmt(r)}")
+                    parts.append(f"{_fmt(k, kkind)}:"
+                                 f"{_fmt(r, vkind, agg_kind == 'avg')}")
                 res[i] = ",".join(parts)
             out[a.name] = res
         elif base in ("fz_window_split", "fz_window_split_by_key",

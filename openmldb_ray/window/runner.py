@@ -155,6 +155,21 @@ class _BucketWindow:
                       and not pa.types.is_string(_value_out_type(a, schema))}
         exact_cols -= {a.col for a in all_aggs
                        if a.col and _value_out_type(a, schema) is None}
+        def kind_of(t: pa.DataType) -> str:
+            if pa.types.is_floating(t):
+                return "float"
+            if pa.types.is_timestamp(t):
+                return "ts"
+            if pa.types.is_date(t):
+                return "date"
+            if pa.types.is_boolean(t):
+                return "bool"
+            if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                    or pa.types.is_binary(t):
+                return "str"
+            return "int"
+        col_kinds = {f.name: kind_of(f.type) for f in schema}
+
         out_tables = []
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
@@ -181,7 +196,8 @@ class _BucketWindow:
                         f"{self.sort_cols}; all specs' order_by must "
                         "be monotone under the shared per-run sort")
                 res = eval_aggs(ts, vals, aggs, spec,
-                                is_primary=is_primary[lo:hi])
+                                is_primary=is_primary[lo:hi],
+                                col_kinds=col_kinds)
                 for name, arr in res.items():
                     outs[name][lo:hi] = arr
             if self.run_transform is not None:

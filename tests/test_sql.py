@@ -23,8 +23,12 @@ VERBATIM = [
     "window_open_preceding", "window_union",
     "window_salted", "window_salted_rows", "lag_lead",
     "filter_project", "sort_limit", "distinct", "left_join",
+    # scalar_datetime dropped: its oracle uses DuckDB's dayofweek
+    # (Sunday=0, so the SQL says dayofweek(ts)+1) while this engine's
+    # dayofweek follows the reference (Sunday=1) — the same string
+    # cannot produce equal values under both engines
     "last_join_asof", "last_join_unique", "scalar_string_math",
-    "scalar_more", "scalar_datetime",
+    "scalar_more",
 ]
 
 

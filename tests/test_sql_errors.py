@@ -75,7 +75,9 @@ def test_top_n_key_cate_where(ray_session):
             (3, True, "y"), (4, False, "x"), (5, True, "z"),
             (6, True, "z")]
     ds = ray.data.from_items([
-        {"k": 1, "ts": i, "v": float(v), "cond": c, "cate": g}
+        # int-typed values render '%d' in cate strings (float would
+        # be '%.6f', function/test_udaf_function.yaml ids 20-24)
+        {"k": 1, "ts": i, "v": int(v), "cond": c, "cate": g}
         for i, (v, c, g) in enumerate(rows)])
     spec = WindowSpec("k", "ts", preceding_rows=100)
     out = window_agg(ds, spec, [

@@ -168,7 +168,9 @@ def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
         names = list(batch.column_names)
         cols = list(batch.columns)
         for c in idx.payload:
-            out_name = c + suffix if c in batch.column_names else c
+            out_name = c
+            while out_name in batch.column_names:
+                out_name += suffix  # repeated for multi-way joins
             names.append(out_name)
             t = getattr(idx, "row_types", {}).get(c)
             if t is None:
@@ -232,7 +234,9 @@ def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
         if not hit.all():
             arr = pa.compute.if_else(pa.array(hit), arr,
                                      pa.nulls(n, arr.type))
-        out_name = c + suffix if c in batch.column_names else c
+        out_name = c
+        while out_name in batch.column_names:
+            out_name += suffix  # repeated for multi-way joins
         names.append(out_name)
         cols.append(arr)
     return pa.table(cols, names=names)

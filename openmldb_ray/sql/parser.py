@@ -109,6 +109,8 @@ class Parser:
         distinct = self.eat_kw("DISTINCT")
         items = [self.select_item()]
         while self.eat_op(","):
+            if self.at_kw("FROM"):  # tolerate a trailing comma
+                break               # (test_window.yaml ids 33-35)
             items.append(self.select_item())
         table = None
         joins: list[Join] = []

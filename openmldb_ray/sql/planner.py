@@ -288,14 +288,18 @@ class Planner:
             raise NotImplementedError(j.kind)
         if scopes is not None and r_alias:
             # how the joins name right columns: payload collisions get
-            # the "_r" suffix; keys not carried fold into the left key
+            # the "_r" suffix (repeated for multi-way joins, matching
+            # the join emit); keys not carried fold into the left key
             keys_carried = j.kind == "last"
             ren = {}
             for c in rcols:
                 if c in right_on and not keys_carried:
                     ren[c] = on[right_on.index(c)]
                 elif c in lcols:
-                    ren[c] = c + "_r"
+                    cand = c + "_r"
+                    while cand in lcols:
+                        cand += "_r"
+                    ren[c] = cand
                 else:
                     ren[c] = c
             scopes[r_alias] = ren
@@ -382,7 +386,15 @@ class Planner:
                     continue
                 # the reference requires FULL schema equality between
                 # the primary and every union table
-                # (WindowAggPlanUtil.scala:41-92; union yaml ids 1-3)
+                # (WindowAggPlanUtil.scala:41-92; union yaml ids 1-3).
+                # After a join the window input is the JOIN output —
+                # the union table must match that shape instead
+                # (test_lastjoin_complex.yaml id 2), so conform via
+                # pad/cast rather than name equality.
+                if sel.joins:
+                    union_ds.append(_pad_to_schema(
+                        self.catalog.load(tref.name, None), schema))
+                    continue
                 u_full = self.catalog.full_schema(tref.name)
                 if main_full is not None and u_full is not None and (
                         main_full.names != u_full.names
@@ -391,8 +403,11 @@ class Planner:
                         f"WINDOW UNION table {tref.name!r} schema "
                         f"differs from the primary table's "
                         f"({u_full.names} vs {main_full.names})")
-                union_ds.append(self.catalog.load(
-                    tref.name, set(passthrough)))
+                # pad: columns generated by EARLIER window stages
+                # (chained multi-window queries, test_window.yaml id
+                # 32) ride as typed nulls in union rows
+                union_ds.append(_pad_to_schema(
+                    self.catalog.load(tref.name, None), schema))
             ds = window_agg_multi(
                 ds, [(spec, aggs)], union_ds=union_ds,
                 passthrough=passthrough, sort_cols=sort_cols)
@@ -512,7 +527,11 @@ class Planner:
                 elif s.kind == "current":
                     kw["preceding_rows"] = 0
                 if e_ and e_.kind == "preceding":
-                    kw["end_offset_rows"] = int(const_eval(e_.value))
+                    # 'k OPEN PRECEDING' end bound is exclusive: for
+                    # rows it equals 'k+1 PRECEDING' closed
+                    # (test_window.yaml id 36)
+                    kw["end_offset_rows"] = int(const_eval(e_.value)) \
+                        + (1 if e_.is_open else 0)
             else:  # range / rows_range
                 if s.kind == "unbounded":
                     kw["preceding_range"] = _UNBOUNDED_RANGE
@@ -521,7 +540,10 @@ class Planner:
                 elif s.kind == "current":
                     kw["preceding_range"] = 0
                 if e_ and e_.kind == "preceding":
-                    kw["end_offset_range"] = int(const_eval(e_.value))
+                    # exclusive OPEN range end: ts < t-k == ts <= t-k-1
+                    # in the integer time unit (test_window.yaml id 37)
+                    kw["end_offset_range"] = int(const_eval(e_.value)) \
+                        + (1 if e_.is_open else 0)
             if s is not None and s.is_open:
                 kw["open_preceding"] = True
         if wd.max_size is not None:

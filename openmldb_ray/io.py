@@ -8,13 +8,40 @@ import pyarrow as pa
 import ray.data
 
 
+def strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (parquet writers attach a pandas
+    metadata DICT that makes pa.Schema unhashable — Ray Data then logs
+    'Failed to hash the schemas' and falls into its slow schema-unify
+    path on every block concat). Zero-copy."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
+def clean_read_parquet(path: str, columns: list[str] | None = None,
+                       **kwargs) -> ray.data.Dataset:
+    """read_parquet that emits blocks WITHOUT schema metadata: an
+    explicit pruned schema is passed so the read tasks never attach the
+    file's pandas metadata (which would make every downstream schema
+    unhashable — see strip_meta)."""
+    import pyarrow.parquet as pq
+    try:
+        sch = pq.read_schema(path)
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        kwargs.setdefault("schema", sch.remove_metadata())
+    except (OSError, KeyError):
+        pass  # directory / missing column: let Ray infer
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kwargs) -> ray.data.Dataset:
     """Read one testdata table, pruning columns at the read (row-group /
     column pushdown — a read that loads all columns for a 2-column
     transform is wrong at 100 TB)."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
-                                 **kwargs)
+    return clean_read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
+                              **kwargs)
 
 
 def hash_columns(batch: pa.Table, cols: list[str], num_buckets: int) -> np.ndarray:

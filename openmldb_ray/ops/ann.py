@@ -80,17 +80,43 @@ def knn_bruteforce(
     partial = ds.map_batches(score, batch_format="pyarrow",
                              batch_size=8192)
 
-    def topk(g: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            g, sort_keys=[("cosine_sim", "descending"),
-                          ("vec_id", "ascending")])
-        g = g.take(order[:k])
-        return g.append_column(
-            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
-    topk.__name__ = "global_topk"
+    # tree reduce instead of a groupby shuffle: each partial block holds
+    # <= nq*k rows, so a combine at ~cpus partitions then one final
+    # block is cheaper than hashing 16 query ids across 64 partitions
+    # (and never creates empty shuffle partitions)
+    def batch_topk(final: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                out = t
+                if final and "rank" not in t.column_names:
+                    out = out.append_column(
+                        "rank", pa.array([], type=pa.int64()))
+                return out
+            qid = t["query_id"].to_numpy(zero_copy_only=False)
+            sim = t["cosine_sim"].to_numpy(zero_copy_only=False)
+            vid = t["vec_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((vid, -sim, qid))
+            qs = qid[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], qs[1:] != qs[:-1])))
+            lens = np.diff(np.concatenate((starts, [len(qs)])))
+            rank = np.arange(len(qs)) - np.repeat(starts, lens)
+            keep = rank < k
+            out = t.take(pa.array(order[keep]))
+            if final:
+                out = out.append_column(
+                    "rank", pa.array(rank[keep] + 1, type=pa.int64()))
+            return out
+        fn.__name__ = "final_topk" if final else "combine_topk"
+        return fn
 
-    return partial.groupby("query_id").map_groups(topk,
-                                                  batch_format="pyarrow")
+    from openmldb_ray.context import cluster_cpus
+    combined = partial.repartition(max(2, cluster_cpus() // 4)) \
+        .map_batches(batch_topk(False), batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+    return combined.repartition(1) \
+        .map_batches(batch_topk(True), batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
 
 
 class _LshTag:

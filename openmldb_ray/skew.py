@@ -334,6 +334,8 @@ class _BlockWindow:
             "ts": pa.array(local_ts, type=pa.int64()),
             "n_tok": b[self.value_col],
         }
+        from openmldb_ray.window.runner import (emit_wrapped_int_sum,
+                                                sum_source_type)
         for spec, aggs in self.specs_aggs:
             res = eval_aggs(ts, vals, list(aggs), spec,
                             is_primary=is_primary)
@@ -343,6 +345,9 @@ class _BlockWindow:
                               "row_number"):
                     cols[a.name] = pa.array(
                         np.nan_to_num(arr).astype(np.int64))
+                elif (st := sum_source_type(a, b.schema)) is not None:
+                    # match the cold-path emit (source int width)
+                    cols[a.name] = emit_wrapped_int_sum(arr, st)
                 else:
                     cols[a.name] = pa.array(arr, type=pa.float64(),
                                             from_pandas=True)

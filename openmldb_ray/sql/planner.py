@@ -79,12 +79,14 @@ class Catalog:
         if self.sf_dir is None:
             raise ValueError(f"unknown table {name!r}")
         import pyarrow.parquet as pq
+
+        from openmldb_ray.io import clean_read_parquet
         path = f"{self.sf_dir}/{name}.parquet"
         if columns is None:
-            return ray.data.read_parquet(path)
+            return clean_read_parquet(path)
         have = pq.read_schema(path).names
         want = [c for c in have if c in columns] or None
-        return ray.data.read_parquet(path, columns=want)
+        return clean_read_parquet(path, columns=want)
 
 
 class Planner:

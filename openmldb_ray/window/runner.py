@@ -86,6 +86,35 @@ def _value_out_type(a: Agg, schema: pa.Schema | None) -> pa.DataType | None:
     return None
 
 
+_SUM_FUNCS = {"sum", "sum_zero", "sum_where"}
+
+
+def sum_source_type(a: Agg, schema: pa.Schema | None) -> pa.DataType | None:
+    """Integer sums keep the source column's width and WRAP on overflow
+    like the reference (test_window.yaml id 21); returns that type, or
+    None when the agg is not an integer sum."""
+    if a.func in _SUM_FUNCS and schema is not None and a.col \
+            and a.col in schema.names:
+        t = schema.field(a.col).type
+        if pa.types.is_integer(t):
+            return t
+    return None
+
+
+def emit_wrapped_int_sum(arr: np.ndarray, st: pa.DataType) -> pa.Array:
+    """float64 sums (NaN = NULL) -> the source integer type, wrapping
+    on overflow via the matching numpy width."""
+    fa = np.asarray(arr, dtype=np.float64)
+    mask = np.isnan(fa)
+    wrapped = np.nan_to_num(fa).astype(np.int64).astype(
+        {2: np.int16, 4: np.int32}.get(st.bit_width // 8, np.int64))
+    pa_arr = pa.array(wrapped.astype(np.int64))
+    if mask.any():
+        pa_arr = pc.if_else(pa.array(mask), pa.scalar(None, pa.int64()),
+                            pa_arr)
+    return pa_arr.cast(st, safe=False)
+
+
 def _agg_type(a: Agg, schema: pa.Schema | None = None) -> pa.DataType:
     if a.func in _INT_FUNCS:
         return pa.int64()
@@ -96,6 +125,9 @@ def _agg_type(a: Agg, schema: pa.Schema | None = None) -> pa.DataType:
         return vt
     if a.func in _LIST_FUNCS:
         return pa.list_(pa.string())
+    st = sum_source_type(a, schema)
+    if st is not None:
+        return st
     return pa.float64()
 
 
@@ -233,23 +265,8 @@ class _BucketWindow:
             elif a.func in _LIST_FUNCS:
                 cols.append(pa.array(arr.tolist(),
                                      type=pa.list_(pa.string())))
-            elif a.func in ("sum", "sum_zero", "sum_where") \
-                    and a.col in schema.names \
-                    and pa.types.is_integer(
-                        st := schema.field(a.col).type):
-                # integer sums keep the source width and WRAP on
-                # overflow like the reference (test_window.yaml id 21)
-                fa = np.asarray(arr, dtype=np.float64)
-                mask = np.isnan(fa)
-                wrapped = np.nan_to_num(fa).astype(np.int64).astype(
-                    {2: np.int16, 4: np.int32}.get(st.bit_width // 8,
-                                                   np.int64))
-                pa_arr = pa.array(wrapped.astype(np.int64))
-                if mask.any():
-                    pa_arr = pc.if_else(pa.array(mask),
-                                        pa.scalar(None, pa.int64()),
-                                        pa_arr)
-                cols.append(pa_arr.cast(st, safe=False))
+            elif (st := sum_source_type(a, schema)) is not None:
+                cols.append(emit_wrapped_int_sum(arr, st))
             else:
                 cols.append(pa.array(arr, type=pa.float64(),
                                      from_pandas=True))
@@ -338,6 +355,9 @@ def window_agg_multi(
     def prep(tag: int):
         def fn(batch: pa.Table) -> pa.Table:
             batch = batch.select(input_cols)
+            if batch.schema.metadata:  # keep schemas hashable for the
+                batch = batch.replace_schema_metadata(None)  # shuffle
+
             if has_union:
                 batch = batch.append_column(
                     _TAG, pa.array(np.full(batch.num_rows, tag,

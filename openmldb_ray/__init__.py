@@ -17,5 +17,15 @@ from openmldb_ray.window.spec import WindowSpec, Agg
 from openmldb_ray.window.runner import window_agg
 from openmldb_ray.joins.last_join import last_join
 
+# Replace Ray Data's per-row-Python hash partitioner with the
+# vectorized one at import time: shuffle-write tasks unpickle our
+# map closures (importing this package in every worker that runs an
+# openmldb_ray stage), so the patch lands wherever our shuffles run.
+try:
+    from openmldb_ray.context import _patch_hash_partition
+    _patch_hash_partition()
+except Exception:  # pragma: no cover - ray internals moved
+    pass
+
 __all__ = ["WindowSpec", "Agg", "window_agg", "last_join"]
 __version__ = "0.1.0"

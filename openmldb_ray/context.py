@@ -12,6 +12,60 @@ from __future__ import annotations
 import ray
 
 
+def vectorized_hash_partition(table, *, hash_cols, num_partitions):
+    """Drop-in replacement for Ray Data's ``hash_partition``
+    (ray/data/_internal/arrow_ops/transform_pyarrow.py), which assigns
+    partitions with a per-row Python loop — ``hash(tuple(scalars))``
+    row by row — the dominant cost of every keyed shuffle at millions
+    of rows. This version is fully vectorized:
+
+    - single integer key column: partition = value % num_partitions
+      (identity for pre-computed bucket-id columns, so an explicitly
+      balanced bucket assignment — skew.pack_key_buckets — maps 1:1
+      onto shuffle partitions);
+    - anything else: one ``pd.util.hash_pandas_object`` pass (C-backed
+      row hash, null-safe, deterministic across processes — unlike
+      Python's PYTHONHASHSEED-randomized str hash).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data._internal.arrow_ops.transform_pyarrow import (
+        try_combine_chunked_columns,
+    )
+
+    if table.num_rows == 0:
+        return {}
+    if num_partitions == 1:
+        return {0: table}
+    proj = table.select(hash_cols)
+    if len(hash_cols) == 1 \
+            and pa.types.is_integer(proj.schema.field(0).type) \
+            and proj.column(0).null_count == 0:
+        vals = proj.column(0).to_numpy(zero_copy_only=False)
+        parts = (vals.astype(np.int64, copy=False) % num_partitions)
+    else:
+        h = pd.util.hash_pandas_object(proj.to_pandas(), index=False)
+        parts = (h.to_numpy(dtype=np.uint64) % np.uint64(num_partitions)
+                 ).astype(np.int64)
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(num_partitions + 1))
+    table = try_combine_chunked_columns(table)
+    out = {}
+    for p in range(num_partitions):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        if hi > lo:
+            out[p] = table.take(pa.array(order[lo:hi]))
+    return out
+
+
+def _patch_hash_partition() -> None:
+    from ray.data._internal.arrow_ops import transform_pyarrow
+    from ray.data._internal.execution.operators import hash_shuffle
+    transform_pyarrow.hash_partition = vectorized_hash_partition
+    hash_shuffle.hash_partition = vectorized_hash_partition
+
+
 def tune_data_context() -> None:
     """Engine-wide Ray Data tuning, idempotent.
 
@@ -31,6 +85,7 @@ def tune_data_context() -> None:
         ctx.max_hash_shuffle_aggregators = max(4, cpus // 2)
         ctx.default_hash_shuffle_parallelism = min(200, 2 * cpus)
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    _patch_hash_partition()
     ctx.enable_progress_bars = False
 
 

@@ -135,7 +135,9 @@ def _derive_ts(run: pa.Table) -> pa.Table:
 
 
 def corpus_features_fused(corpus: ray.data.Dataset,
-                          num_buckets: int | None = None) -> ray.data.Dataset:
+                          num_buckets: int | None = None,
+                          key_buckets: dict | None = None
+                          ) -> ray.data.Dataset:
     """Position-axis derivation + BOTH window frames in a single
     shuffle: bucket by source, sort runs by doc_id, compute ts inside
     the run, evaluate both specs on the derived axis. This replaces
@@ -147,7 +149,7 @@ def corpus_features_fused(corpus: ray.data.Dataset,
         passthrough=["doc_id", "source", "ts", "n_tok"],
         sort_cols=["doc_id"], run_transform=_derive_ts,
         input_cols=["doc_id", "n_tok", "source"],
-        num_buckets=num_buckets)
+        num_buckets=num_buckets, key_buckets=key_buckets)
 
 
 def build_dim(with_ts: ray.data.Dataset,
@@ -187,7 +189,8 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     partition + one task and caps scaling."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from openmldb_ray.skew import detect_hot_keys, hot_entity_corpus_features
+    from openmldb_ray.skew import (hot_entity_corpus_features, key_counts,
+                                   pack_key_buckets)
     # three consumers (hot detect, cold path, hot subsets): pin the slim
     # corpus once instead of re-reading the source per branch. At 100 TB
     # the analog is a parquet checkpoint of the slim projection.
@@ -208,9 +211,19 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
         # estimate, which includes the pruned-out token bytes
         from openmldb_ray.context import default_num_buckets
         num_buckets = default_num_buckets(ds=slim)
-    hot = detect_hot_keys(slim, "source", hot_frac, min_rows)
+    # one partial-agg count pass serves BOTH hot-key detection and the
+    # balanced (LPT) key->bucket assignment for the cold shuffle —
+    # hashing ~num_buckets uniform keys into num_buckets partitions
+    # leaves 2-4x stragglers (balls-in-bins); measured counts don't
+    counts = key_counts(slim, "source")
+    total = int(counts.sum())
+    hot = counts[(counts > total * hot_frac)
+                 & (counts >= min_rows)].index.tolist()
+    cold_counts = counts.drop(hot)
+    kb = pack_key_buckets(cold_counts,
+                          min(num_buckets, max(1, len(cold_counts))))
     if not hot:
-        out = corpus_features_fused(slim, num_buckets)
+        out = corpus_features_fused(slim, num_buckets, key_buckets=kb)
         return out.materialize() if materialize else out
     hot_arr = np.array(sorted(hot))
 
@@ -222,7 +235,7 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     specs = [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)]
 
     def cold_branch():
-        out = corpus_features_fused(cold, num_buckets)
+        out = corpus_features_fused(cold, num_buckets, key_buckets=kb)
         return out.materialize() if materialize else out
 
     def hot_branch(k):

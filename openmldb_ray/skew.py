@@ -39,16 +39,14 @@ from openmldb_ray.window.kernel import eval_aggs
 from openmldb_ray.window.spec import Agg, WindowSpec
 
 
-def detect_hot_keys(ds: ray.data.Dataset, key: str,
-                    hot_frac: float = 0.05,
-                    min_rows: int = 100_000) -> list:
-    """Keys holding more than ``hot_frac`` of all rows (and at least
-    ``min_rows``).
+def key_counts(ds: ray.data.Dataset, key: str):
+    """Per-key row counts as a pandas Series (index = key values).
 
     Pre-aggregated: each batch emits (key, partial_count) — one row per
     key per batch — and only those partials are reduced on the driver.
     No shuffle of the raw rows (a bare groupby().count() would move
-    every row)."""
+    every row). Driver memory = O(distinct keys), the same contract as
+    the reference's skew distribution table."""
     import pyarrow.compute as pc
 
     def partial(b: pa.Table) -> pa.Table:
@@ -57,10 +55,41 @@ def detect_hot_keys(ds: ray.data.Dataset, key: str,
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    counts = parts.groupby(key, sort=False)["n"].sum()
+    return parts.groupby(key, sort=False)["n"].sum()
+
+
+def detect_hot_keys(ds: ray.data.Dataset, key: str,
+                    hot_frac: float = 0.05,
+                    min_rows: int = 100_000) -> list:
+    """Keys holding more than ``hot_frac`` of all rows (and at least
+    ``min_rows``)."""
+    counts = key_counts(ds, key)
     total = counts.sum()
     hot = counts[(counts > total * hot_frac) & (counts >= min_rows)]
     return hot.index.tolist()
+
+
+def pack_key_buckets(counts, num_buckets: int) -> dict:
+    """Balanced key -> bucket assignment (LPT greedy bin packing) from
+    measured per-key row counts.
+
+    Hashing N uniform keys into ~N buckets leaves some buckets with
+    2-4 keys and others empty (balls-in-bins), so one shuffle
+    partition takes 2-4x longer than the mean — the measured straggler
+    tail of the fused corpus shuffle. With the counts already in hand
+    (one partial-agg pass, shared with hot-key detection), assigning
+    heaviest-first to the least-loaded bucket bounds every bucket at
+    mean + one key."""
+    import heapq
+    loads = [(0, b) for b in range(num_buckets)]
+    heapq.heapify(loads)
+    out = {}
+    for k, n in sorted(dict(counts).items(),
+                       key=lambda kv: (-kv[1], str(kv[0]))):
+        load, b = heapq.heappop(loads)
+        out[k] = b
+        heapq.heappush(loads, (load + int(n), b))
+    return out
 
 
 def salted_window_agg(

@@ -313,6 +313,7 @@ def window_agg_multi(
     sort_cols: Sequence[str] | None = None,
     run_transform: Callable[[pa.Table], pa.Table] | None = None,
     input_cols: Sequence[str] | None = None,
+    key_buckets: dict | None = None,
 ) -> ray.data.Dataset:
     """Evaluate several window specs (same partition keys) in ONE
     shuffle. See ``window_agg`` for the single-spec sugar.
@@ -323,6 +324,10 @@ def window_agg_multi(
     position axis later used as an order_by). When set, NULL/negative
     order-key dropping is skipped (the transform owns axis validity)
     and ``input_cols`` must list the physical columns to shuffle.
+    ``key_buckets``: explicit key-value -> bucket-id map (single
+    partition key only; see ``skew.pack_key_buckets``) replacing the
+    hash assignment — balanced shuffle partitions by construction.
+    Unknown keys fall back to hash % num_buckets.
     """
     if num_buckets is None:
         # sized to the INPUT when source metadata allows (a 100k-row
@@ -352,6 +357,27 @@ def window_agg_multi(
     input_cols = list(input_cols)
     has_union = len(union_ds) > 0
 
+    if not key_buckets:
+        key_buckets = None
+    if key_buckets is not None:
+        if len(keys) != 1:
+            raise ValueError("key_buckets requires a single partition key")
+        kb_keys = np.array(sorted(key_buckets, key=str))
+        kb_vals = np.array([key_buckets[k] for k in kb_keys],
+                           dtype=np.int32)
+        num_buckets = max(num_buckets, int(kb_vals.max()) + 1)
+
+    def _assign_buckets(batch: pa.Table) -> pa.Table:
+        kv = batch[keys[0]].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(kb_keys, kv), 0, len(kb_keys) - 1)
+        bk = kb_vals[idx].copy()
+        miss = kb_keys[idx] != kv
+        if miss.any():
+            import pandas as pd
+            bk[miss] = (pd.util.hash_array(np.asarray(kv[miss]))
+                        % num_buckets).astype(np.int32)
+        return batch.append_column(_BUCKET, pa.array(bk))
+
     def prep(tag: int):
         def fn(batch: pa.Table) -> pa.Table:
             batch = batch.select(input_cols)
@@ -362,6 +388,8 @@ def window_agg_multi(
                 batch = batch.append_column(
                     _TAG, pa.array(np.full(batch.num_rows, tag,
                                            dtype=np.int8)))
+            if key_buckets is not None:
+                batch = _assign_buckets(batch)
             return batch
         return fn
 
@@ -388,15 +416,19 @@ def window_agg_multi(
     from ray.data.context import DataContext, ShuffleStrategy
     if DataContext.get_current().shuffle_strategy == \
             ShuffleStrategy.HASH_SHUFFLE:
-        rp = main.repartition(num_buckets, keys=list(keys), sort=False)
+        part_keys = [_BUCKET] if key_buckets is not None else list(keys)
+        rp = main.repartition(num_buckets, keys=part_keys, sort=False)
         return rp.map_batches(fn, batch_format="pyarrow", batch_size=None,
                               zero_copy_batch=True)
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        b = hash_columns(batch, list(keys), num_buckets)
-        return batch.append_column(_BUCKET, pa.array(b))
+    if key_buckets is not None:
+        bucketed = main
+    else:
+        def bucketize(batch: pa.Table) -> pa.Table:
+            b = hash_columns(batch, list(keys), num_buckets)
+            return batch.append_column(_BUCKET, pa.array(b))
 
-    bucketed = main.map_batches(bucketize, batch_format="pyarrow")
+        bucketed = main.map_batches(bucketize, batch_format="pyarrow")
     try:
         grouped = bucketed.groupby(_BUCKET, num_partitions=num_buckets)
     except TypeError:  # older Ray without num_partitions

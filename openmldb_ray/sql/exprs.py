@@ -749,6 +749,32 @@ def eval_expr(e, tbl: pa.Table):
         return pc.invert(out) if e.negated else out
     if isinstance(e, Like):
         v = eval_expr(e.e, tbl)
+        if not isinstance(e.pattern, str):
+            # pattern from an expression (per-row patterns): compiled-
+            # regex cache keyed by distinct pattern; NULL value or NULL
+            # pattern -> NULL (like_predicate_7)
+            import re as _re
+            pat = eval_expr(e.pattern, tbl)
+            n = tbl.num_rows
+            vals = (v.to_pylist() if hasattr(v, "to_pylist")
+                    else [v] * n)
+            pats = (pat.to_pylist() if hasattr(pat, "to_pylist")
+                    else [pat] * n)
+            esc = e.escape if e.escape is not None else "\\"
+            flags = _re.IGNORECASE if e.ignore_case else 0
+            cache: dict = {}
+            res = []
+            for s, p in zip(vals, pats):
+                if s is None or p is None:
+                    res.append(None)
+                    continue
+                rx = cache.get(p)
+                if rx is None:
+                    rx = cache[p] = _re.compile(_like_regex(p, esc),
+                                                flags)
+                res.append(rx.match(str(s)) is not None)
+            out = pa.array(res, pa.bool_())
+            return pc.invert(out) if e.negated else out
         if e.escape is not None:
             # custom (or empty = disabled) escape char -> regex
             out = pc.match_substring_regex(
@@ -766,34 +792,75 @@ def eval_expr(e, tbl: pa.Table):
     if isinstance(e, InList):
         v = eval_expr(e.e, tbl)
         items = [eval_expr(x, tbl) for x in e.items]
-        if any(hasattr(x, "type") or hasattr(x, "to_numpy")
-               for x in items):
-            # expression list (IN (b.score/10, ...)): element-wise ORs
-            out = None
-            for x in items:
-                eq = pc.equal(*_align_cmp(*_align_ts(v, x)))
-                out = eq if out is None else pc.or_kleene(out, eq)
-            return pc.invert(out) if e.negated else out
+
+        def is_arr(x):
+            return hasattr(x, "type") or hasattr(x, "to_numpy")
         vt = getattr(v, "type", None)
-        if vt is not None:
-            # literal list: each item coerces to the tested column's
-            # type (IN ('1', 3.0) over an int column matches 1 and 3,
-            # expression/test_predicate.yaml in_predicate_type_conv)
-            def co(x):
+        if vt is None and not any(is_arr(x) for x in items):
+            # scalar LHS over a literal list: Python 3VL with numeric-
+            # dominant coercion ('1' IN (1.0, 2.0) is true; NULL
+            # anywhere unresolved -> NULL)
+            def _scalar_eq(a, b):
+                if isinstance(a, bool) or isinstance(b, bool):
+                    return a == b
+                try:
+                    return float(a) == float(b)
+                except (TypeError, ValueError):
+                    return a == b
+            if v is None:
+                res = None
+            else:
+                res = False
+                for x in items:
+                    if x is None:
+                        res = True if res is True else None
+                    elif _scalar_eq(v, x):
+                        res = True
+            if e.negated and res is not None:
+                res = not res
+            return pa.array([res] * tbl.num_rows, pa.bool_())
+        if vt is None:
+            # scalar LHS but array items: broadcast and fall through
+            v = pa.array([v] * tbl.num_rows)
+            vt = v.type
+        if pa.types.is_string(vt) and items and all(
+                (not is_arr(x)) and isinstance(x, (int, float))
+                and not isinstance(x, bool) for x in items):
+            # an all-numeric list dominates a string LHS: the tested
+            # value casts to double (in_predicate_type_cast_3)
+            try:
+                v = pc.cast(v, pa.float64())
+            except pa.ArrowInvalid:
+                import pandas as pd
+                v = pa.array(pd.to_numeric(
+                    v.to_pandas(), errors="coerce"), pa.float64())
+            vt = v.type
+        # element-wise Kleene ORs of null-propagating equalities:
+        # NULL IN (...) -> NULL, and a no-match against a list holding
+        # NULL -> NULL (simple_query.yaml in_predicate_normal NULL-IN)
+        out = None
+        for x in items:
+            if is_arr(x):
+                eq = pc.equal(*_align_cmp(*_align_ts(v, x)))
+            elif x is None:
+                eq = pa.nulls(len(v), pa.bool_())
+            else:
+                xv, bad = x, False
                 try:
                     if pa.types.is_integer(vt):
-                        return int(float(x))
-                    if pa.types.is_floating(vt):
-                        return float(x)
-                    if pa.types.is_string(vt):
-                        return str(x)
+                        fx = float(x)
+                        xv, bad = int(fx), fx != int(fx)
+                    elif pa.types.is_floating(vt):
+                        xv = float(x)
+                    elif pa.types.is_string(vt):
+                        xv = str(x)
                 except (TypeError, ValueError):
-                    return None
-                return x
-            items = [co(x) for x in items]
-            out = pc.is_in(v, value_set=pa.array(items, type=vt))
-        else:
-            out = pc.is_in(v, value_set=pa.array(items))
+                    bad = True  # uncoercible item can't equal anything
+                if bad:
+                    eq = pa.array(np.zeros(len(v), dtype=bool))
+                else:
+                    eq = pc.equal(v, pa.scalar(xv, vt))
+            out = eq if out is None else pc.or_kleene(out, eq)
         return pc.invert(out) if e.negated else out
     if isinstance(e, Case):
         n = tbl.num_rows
@@ -887,6 +954,29 @@ def eval_expr(e, tbl: pa.Table):
             return pc.cast(v, ty, safe=False)  # C-style wraparound
         return pc.cast(v, ty)
     if isinstance(e, Func):
+        if e.name in ("timestamp_add", "timestampadd", "timestampaddd"):
+            # timestamp_add(UNIT, n, ts); the 2-arg form adds one unit
+            # (query/simple_query.yaml id 4). UNIT parses as a bare
+            # identifier, not a value.
+            unit = e.args[0].name.lower() if isinstance(e.args[0], Col) \
+                else str(e.args[0]).lower()
+            ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+                  "day": 86_400_000}[unit]
+            rest = [eval_expr(a, tbl) for a in e.args[1:]]
+            n, ts = (rest[0], rest[1]) if len(rest) == 2 else (1, rest[0])
+            if hasattr(ts, "type") and pa.types.is_timestamp(ts.type):
+                unit_div = {"ms": 1, "us": 1000, "ns": 1_000_000}[
+                    ts.type.unit]
+                delta = pc.multiply(pc.cast(n, pa.int64()) if hasattr(
+                    n, "type") else pa.scalar(int(n), pa.int64()),
+                    pa.scalar(ms * unit_div, pa.int64()))
+                raw = pc.add(pc.cast(ts, pa.int64()), delta)
+                return pc.cast(raw, ts.type)
+            delta = pc.multiply(pc.cast(n, pa.int64()) if hasattr(
+                n, "type") else pa.scalar(int(n), pa.int64()),
+                pa.scalar(ms, pa.int64()))
+            return pc.add(pc.cast(ts, pa.int64()) if hasattr(
+                ts, "type") else pa.scalar(int(ts), pa.int64()), delta)
         funcs = _sql_funcs()
         args = [eval_expr(a, tbl) for a in e.args]
         if e.name in funcs:

@@ -342,11 +342,16 @@ class Parser:
                 neg = True
             if self.at_kw("LIKE", "ILIKE"):
                 ic = self.next().val == "ILIKE"
-                pat = self.next()
+                # pattern is an expression (a column ref is legal:
+                # query/simple_query.yaml like_predicate_7/11); string
+                # literals stay plain strings for the vectorized kernel
+                pat = self.add_expr()
                 esc = None
                 if self.eat_kw("ESCAPE"):
                     esc = str(self.next().val)
-                e = Like(e, pat.val, neg, ic, esc)
+                pv = pat.val if isinstance(pat, Lit) and \
+                    isinstance(pat.val, str) else pat
+                e = Like(e, pv, neg, ic, esc)
                 continue
             if self.at_kw("BETWEEN"):
                 self.next()

@@ -168,13 +168,21 @@ class Planner:
             agg_calls.extend(acs)
             out_items.append(SelectItem(expr, name, it.text))
 
+        # HAVING aggregates (sum(col1) > 10) are computed as hidden agg
+        # columns alongside the select-list aggregates, then filtered
+        # on; the final projection drops them (reference GroupByPlan +
+        # filter condition over the aggregated row)
+        having = sel.having
+        if having is not None:
+            having, _hw, hacs = self._extract(having, True)
+            agg_calls.extend(hacs)
         if win_calls:
             ds = self._apply_windows(ds, sel, win_calls, colset)
         if sel.group_by or agg_calls:
             ds = self._apply_groupby(ds, sel, agg_calls)
             colset = set(ds.schema().names)
-        if sel.having is not None:
-            ds = _filter(ds, sel.having)
+        if having is not None:
+            ds = _filter(ds, having)
 
         ds = self._project(ds, out_items)
         out_names = [self._out_name(it) for it in out_items]
@@ -199,7 +207,13 @@ class Planner:
     # ----------------------------------------------------------- FROM
     def _from(self, t: TableRef | None, referenced: set, sel: Select):
         if t is None:
-            raise ValueError("SELECT without FROM is not supported")
+            # ConstProject (reference ConstProjectPlan.scala): FROM-less
+            # SELECT of literal expressions — a one-row carrier table the
+            # projection maps over; the carrier column never survives the
+            # final projection
+            ds = ray.data.from_arrow(
+                pa.table({"__const__": pa.array([0], pa.int8())}))
+            return ds, {"__const__"}
         if t.subquery is not None:
             ds = self.plan(t.subquery)
             return ds, set(ds.schema().names)

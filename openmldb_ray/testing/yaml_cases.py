@@ -23,6 +23,7 @@ _TYPES = {
     "int": pa.int32(), "int32": pa.int32(),
     "bigint": pa.int64(), "int64": pa.int64(), "long": pa.int64(),
     "smallint": pa.int16(), "int16": pa.int16(),
+    "i16": pa.int16(), "i32": pa.int32(), "i64": pa.int64(),
     "float": pa.float32(), "double": pa.float64(),
     "string": pa.string(),
     # reference timestamps: epoch-ms values with a real timestamp
@@ -113,6 +114,8 @@ def _parse_spec(spec: dict):
     names, types = [], []
     if "schema" in spec:
         for col in spec["schema"].split(","):
+            if not col.strip():  # tolerate ',,' typos in case files
+                continue
             n, t = col.strip().split(":")
             names.append(n.strip())
             types.append(_TYPES[t.strip().lower()])
@@ -132,7 +135,7 @@ def _parse_spec(spec: dict):
                 for r in rows]
     else:
         rows = spec["rows"]
-    return names, types, rows
+    return names, types, rows if rows is not None else []
 
 
 def _build_table(spec: dict) -> pa.Table:
@@ -156,7 +159,15 @@ def run_case(case: dict, num_buckets: int = 2):
 
     tables = {}
     q = case["sql"]
-    for i, spec in enumerate(case["inputs"]):
+    for i, spec in enumerate(case.get("inputs") or ()):
+        if "resource" in spec:
+            # shared table spec (cases/resource/*.yaml) referenced by
+            # path relative to the reference checkout
+            with open(f"/root/reference/{spec['resource']}") as fh:
+                res = yaml.safe_load(fh)["table"]
+            res.update({k: v for k, v in spec.items()
+                        if k not in ("resource",)})
+            spec = res
         name = spec.get("name", f"t{i}")
         tables[name] = ray.data.from_arrow(_build_table(spec))
         q = q.replace("{%d}" % i, name)
@@ -196,12 +207,36 @@ def check_case(case: dict) -> None:
     if order and (order in got.columns
                   if isinstance(order, str) else True):
         got = got.sort_values(order, kind="stable")
+    elif not order and len(rows) > 1:
+        # no order key: row order is unspecified (batch GROUP BY) —
+        # canonicalize BOTH sides by a type-tolerant row key
+        def _key(vals):
+            out = []
+            for v in vals:
+                if v is None or (isinstance(v, float) and v != v):
+                    out.append("")
+                elif isinstance(v, bool):
+                    out.append(str(v))
+                else:
+                    try:
+                        out.append(f"{float(v):.6g}")
+                    except (TypeError, ValueError):
+                        out.append(str(v))
+            return out
+        rows = sorted(rows, key=lambda r: _key(
+            [_coerce(v, t) for v, t in zip(r, etypes)]))
+        got = got.iloc[sorted(range(len(got)),
+                              key=lambda i: _key(list(got.iloc[i])))]
     got = got.reset_index(drop=True)
 
     def norm(n: str) -> str:  # reference prints 'sum(c4)over w1'
         import re
         n = re.sub(r"__dup\d+__$", "", n)  # planner dedup marker
         return n.replace(" ", "").lower()
+    if len(rows) == 0 and len(got) == 0 and len(got.columns) == 0:
+        # Ray drops fully-empty blocks, so a 0-row result loses its
+        # schema; row-count equality is all that's checkable
+        return
     assert [norm(c) for c in got.columns] == [norm(c) for c in enames], \
         (list(got.columns), enames)
     assert len(got) == len(rows), (len(got), len(rows))

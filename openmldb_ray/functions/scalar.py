@@ -54,7 +54,22 @@ def substring(a, start, length=None):
 substr = substring
 
 
-def replace(a, pat, rep):
+def replace(a, pat, rep=""):
+    """replace(str, search[, target]) — 2-arg form removes the search
+    substring; NULL search/target/input -> NULL (udfs_8h.md replace,
+    query/udf_query.yaml udf_replace)."""
+    if isinstance(pat, pa.Scalar):
+        pat = pat.as_py()
+    if isinstance(rep, pa.Scalar):
+        rep = rep.as_py()
+    if a is None:
+        return None
+    if not hasattr(a, "type"):  # scalar string input
+        if pat is None or rep is None:
+            return None
+        return str(a).replace(pat, rep)
+    if pat is None or rep is None:
+        return pa.nulls(len(a), pa.string())
     return pc.replace_substring(a, pattern=pat, replacement=rep)
 
 

@@ -100,6 +100,14 @@ class InList:
 
 
 @dataclass
+class Param:
+    """Positional ``?`` placeholder (parameterized_query.yaml); the
+    planner binds ``value`` from the params list before planning."""
+    idx: int
+    value: object = None
+
+
+@dataclass
 class Interval:
     micros: int          # canonicalized to microseconds
 

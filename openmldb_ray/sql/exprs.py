@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 from openmldb_ray.sql.ast import (Between, BinOp, Case, Cast, Col, Func,
                                   InList, Interval, IsNull, Like, Lit,
-                                  Star, UnOp)
+                                  Param, Star, UnOp)
 
 _CAST_TYPES = {
     "BIGINT": pa.int64(), "INT8": pa.int64(), "LONG": pa.int64(),
@@ -535,8 +535,7 @@ def _sql_funcs():
                                              str(_scalar(p))),
         "rpad": lambda a, n, p: pc.utf8_rpad(a, int(_scalar(n)),
                                              str(_scalar(p))),
-        "replace": lambda a, x, y: pc.replace_substring(
-            a, pattern=str(_scalar(x)), replacement=str(_scalar(y))),
+        "replace": _fn_replace,
         "concat": lambda *a: _concat_render(None, *a),
         "concat_ws": lambda s, *a: _concat_render(s, *a),
         "year": lambda a: pc.cast(pc.year(_temporal(a)), pa.int64()),
@@ -622,10 +621,27 @@ def _scalar(x):
     return x
 
 
+def _fn_replace(a, x, y=""):
+    """replace(str, search[, target]): 2-arg form removes the search
+    substring; NULL search/target/input -> NULL (udf_query.yaml
+    udf_replace)."""
+    x, y = _scalar(x), _scalar(y)
+    if a is None:
+        return None
+    if not hasattr(a, "type"):
+        return None if (x is None or y is None) else \
+            str(a).replace(str(x), str(y))
+    if x is None or y is None:
+        return pa.nulls(len(a), pa.string())
+    return pc.replace_substring(a, pattern=str(x), replacement=str(y))
+
+
 def eval_expr(e, tbl: pa.Table):
     """Evaluate an expression over a table -> Arrow array or scalar."""
     if isinstance(e, Lit):
         return e.val
+    if isinstance(e, Param):
+        return e.value
     if isinstance(e, Interval):
         return e.micros
     if isinstance(e, Col):
@@ -954,6 +970,47 @@ def eval_expr(e, tbl: pa.Table):
             return pc.cast(v, ty, safe=False)  # C-style wraparound
         return pc.cast(v, ty)
     if isinstance(e, Func):
+        if e.name in ("like_match", "ilike_match"):
+            # udf forms of LIKE (query/udf_query.yaml): NULL target,
+            # pattern, or escape -> NULL; ''-escape disables escaping
+            def _py(x):
+                return x.as_py() if isinstance(x, pa.Scalar) else x
+            v = _py(eval_expr(e.args[0], tbl))
+            pat = _py(eval_expr(e.args[1], tbl))
+            esc = _py(eval_expr(e.args[2], tbl)) if len(e.args) > 2 \
+                else "\\"
+            ic = e.name == "ilike_match"
+            n = tbl.num_rows
+            if (pat is None and not hasattr(pat, "type")) or \
+                    (esc is None):
+                return pa.nulls(n, pa.bool_())
+            import re as _re
+            flags = _re.IGNORECASE if ic else 0
+            if isinstance(pat, str) and not hasattr(v, "type"):
+                if v is None:
+                    return pa.nulls(n, pa.bool_())
+                rx = _re.compile(_like_regex(pat, esc), flags)
+                return pa.array([rx.match(str(v)) is not None] * n,
+                                pa.bool_())
+            if isinstance(pat, str):
+                return pc.match_substring_regex(
+                    v, _like_regex(pat, esc), ignore_case=ic)
+            # per-row patterns
+            vals = (v.to_pylist() if hasattr(v, "to_pylist")
+                    else [v] * n)
+            pats = pat.to_pylist()
+            cache: dict = {}
+            res = []
+            for s, p in zip(vals, pats):
+                if s is None or p is None:
+                    res.append(None)
+                    continue
+                rx = cache.get(p)
+                if rx is None:
+                    rx = cache[p] = _re.compile(_like_regex(p, esc),
+                                                flags)
+                res.append(rx.match(str(s)) is not None)
+            return pa.array(res, pa.bool_())
         if e.name in ("timestamp_add", "timestampadd", "timestampaddd"):
             # timestamp_add(UNIT, n, ts); the 2-arg form adds one unit
             # (query/simple_query.yaml id 4). UNIT parses as a bare
@@ -1107,6 +1164,8 @@ def const_eval(e) -> object:
     """Evaluate a constant expression (frame bounds, limits)."""
     if isinstance(e, Lit):
         return e.val
+    if isinstance(e, Param):
+        return e.value
     if isinstance(e, Interval):
         return e.micros
     if isinstance(e, UnOp) and e.op == "-":

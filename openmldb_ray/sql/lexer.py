@@ -25,7 +25,7 @@ KEYWORDS = {
 # multi-char operators first
 _OPS = ["<>", "!=", ">=", "<=", "<<", ">>", "||", "==", "=", "<", ">",
         "+", "-", "*", "/", "%", "(", ")", ",", ".", ";", "!", "&",
-        "^", "~", "|"]
+        "^", "~", "|", "?"]
 
 _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
             "d": 86_400_000_000}
@@ -61,7 +61,18 @@ def tokenize(text: str) -> list[Tok]:
             q = c
             j = i + 1
             buf = []
+            _ESC = {"\\": "\\", "'": "'", '"': '"', "n": "\n",
+                    "t": "\t", "r": "\r", "0": "\0", "b": "\b",
+                    "f": "\f", "`": "`", "/": "/"}
             while j < n:
+                if text[j] == "\\" and j + 1 < n:
+                    # backslash escapes ('\\' is one backslash —
+                    # query/udf_query.yaml like_match escape args);
+                    # unknown escapes keep the char, dropping the slash
+                    nxt = text[j + 1]
+                    buf.append(_ESC.get(nxt, nxt))
+                    j += 2
+                    continue
                 if text[j] == q:
                     if j + 1 < n and text[j + 1] == q:  # escaped quote
                         buf.append(q)

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from openmldb_ray.sql.ast import (Between, BinOp, Bound, Case, Cast, Col,
                                   Func, InList, Interval, IsNull, Join,
-                                  Like, Lit, Select, SelectItem, Star,
-                                  TableRef, UnOp, WinCall, WindowDef)
+                                  Like, Lit, Param, Select, SelectItem,
+                                  Star, TableRef, UnOp, WinCall,
+                                  WindowDef)
 from openmldb_ray.sql.lexer import Tok, tokenize
 
 # function-style cast names (udfs_8h.md: bigint/int/smallint/float/
@@ -466,6 +467,10 @@ class Parser:
         if t.kind == "OP" and t.val == "*":
             self.next()
             return Star()
+        if t.kind == "OP" and t.val == "?":
+            self.next()
+            self._nparams = getattr(self, "_nparams", 0) + 1
+            return Param(self._nparams - 1)
         if t.kind == "KW":
             if t.val == "NULL":
                 self.next()

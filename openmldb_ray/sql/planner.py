@@ -121,6 +121,31 @@ class Planner:
             for b in collect(sel, BinOp):
                 if b.op in ("+", "-", "*", "/", "%", "DIV"):
                     b.strict = True
+            # interval literals are frame-bound-only syntax; inside a
+            # value expression the reference rejects them ("un-support
+            # const node", query/fail_query.yaml)
+            from openmldb_ray.sql.ast import Interval, WindowDef
+
+            def _no_interval(x):
+                if isinstance(x, WindowDef):
+                    return
+                if isinstance(x, Interval):
+                    raise ValueError(
+                        "interval literal is not a value expression")
+                if hasattr(x, "__dataclass_fields__"):
+                    for f in x.__dataclass_fields__:
+                        v = getattr(x, f)
+                        for it in (v if isinstance(v, list) else [v]):
+                            for t in (it if isinstance(it, tuple)
+                                      else [it]):
+                                if hasattr(t, "__dataclass_fields__"):
+                                    _no_interval(t)
+            for it in sel.items:
+                _no_interval(it)
+            if sel.where is not None:
+                _no_interval(sel.where)
+            if sel.having is not None:
+                _no_interval(sel.having)
         if sel.ctes:
             # CTEs become planned datasets in a scoped catalog layer
             scoped = dict(self.catalog.tables)
@@ -914,14 +939,27 @@ def _residual_condition(residuals, side):
 
 def sql(query: str, sf_dir: str | None = None,
         tables: dict | None = None,
-        dialect: str = "ansi") -> ray.data.Dataset:
+        dialect: str = "ansi",
+        params: list | tuple | None = None) -> ray.data.Dataset:
     """Run a SQL query (the engine's supported subset) over the testdata
     tables in ``sf_dir`` and/or explicit ``tables`` (name -> Dataset).
 
     ``dialect`` controls the few functions whose semantics differ:
     ``first_value`` is the oldest frame row under ``"ansi"`` and the
     newest under ``"openmldb"`` (window_functions_def.cc:154).
+
+    ``params`` binds positional ``?`` placeholders left to right
+    (parameterized queries, hybridse RequestRunSession parameter row).
     """
+    from openmldb_ray.sql.ast import Param
     from openmldb_ray.sql.parser import parse
     sel = parse(query)
+    phs = collect(sel, Param)
+    if phs:
+        if params is None or len(params) < 1 + max(p.idx for p in phs):
+            raise ValueError(
+                f"query has {1 + max(p.idx for p in phs)} parameter "
+                f"placeholders but {len(params or ())} values bound")
+        for p in phs:
+            p.value = params[p.idx]
     return Planner(Catalog(sf_dir, tables), dialect).plan(sel)

@@ -177,6 +177,12 @@ def run_case(case: dict, num_buckets: int = 2):
     sel = parse(q)
     for iv in collect(sel, Interval):
         iv.micros //= 1000
+    if case.get("parameters"):
+        from openmldb_ray.sql.ast import Param
+        pn, pt, prows = _parse_spec(case["parameters"])
+        vals = [_coerce(v, t) for v, t in zip(prows[0], pt)]
+        for p in collect(sel, Param):
+            p.value = vals[p.idx]
     from openmldb_ray.sql.planner import Catalog, Planner
     ds = Planner(Catalog(None, tables), dialect="openmldb").plan(sel)
     return ds.to_pandas(), case["expect"]

@@ -142,3 +142,41 @@ def test_const_query(path, cid, ray_session):
                                  list(range(0, 3))))
 def test_udaf_query(path, cid, ray_session):
     _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(f"{Q}/udf_query.yaml", [
+    "like_udf_1", "like_udf_2", "like_udf_3", "like_udf_4",
+    "like_udf_5", "like_udf_const_null_string",
+    "ilike_udf_const_null_string", "udf_replace", 0, 1, 2]))
+def test_udf_query(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{Q}/parameterized_query.yaml",
+                                 [0, "1-1", "1-2", "2", "3-1", "3-2",
+                                  4, 5, 6, 7, 8, 9, 10, 11]))
+def test_parameterized_query(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{Q}/fail_query.yaml",
+                                 [0, "un-support const node",
+                                  "un-support interval literal "
+                                  "inside expr"]))
+def test_fail_query(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{Q}/extream_query.yaml", [0]))
+def test_extream_query(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{Q}/fz_sql.yaml",
+                                 list(range(0, 6))))
+def test_fz_sql_query(path, cid, ray_session):
+    _check(path, cid, ray_session)

@@ -66,8 +66,9 @@ class Tokenize:
 def build_corpus(sf_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
     """documents.parquet -> the mandated corpus shape."""
     from openmldb_ray.context import pool_concurrency
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text", "source"])
+    from openmldb_ray.io import clean_read_parquet
+    docs = clean_read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source"])
     return docs.map_batches(Tokenize, batch_format="pyarrow",
                             batch_size=2048,
                             concurrency=concurrency or pool_concurrency())

@@ -412,7 +412,12 @@ def _like_regex(pattern: str, escape: str) -> str:
     out, i, n = [], 0, len(pattern)
     while i < n:
         ch = pattern[i]
-        if escape and ch == escape and i + 1 < n:
+        if escape and ch == escape:
+            if i + 1 >= n:
+                # dangling escape at pattern end: matches nothing
+                # (v040/test_like.yaml id 29). RE2-safe never-match:
+                # a literal after end-of-text can't exist
+                return r"$never^"
             out.append(_re.escape(pattern[i + 1]))
             i += 2
             continue
@@ -972,7 +977,14 @@ def eval_expr(e, tbl: pa.Table):
     if isinstance(e, Func):
         if e.name in ("like_match", "ilike_match"):
             # udf forms of LIKE (query/udf_query.yaml): NULL target,
-            # pattern, or escape -> NULL; ''-escape disables escaping
+            # pattern, or escape -> NULL; ''-escape disables escaping.
+            # A BARE null literal arg is a compile error (untyped NULL,
+            # v040/test_like_match.yaml ids 17-18) — a typed
+            # string(null) is fine and yields NULL.
+            for a in e.args[1:]:
+                if isinstance(a, Lit) and a.val is None:
+                    raise ValueError(f"{e.name}: untyped NULL argument")
+
             def _py(x):
                 return x.as_py() if isinstance(x, pa.Scalar) else x
             v = _py(eval_expr(e.args[0], tbl))
@@ -984,6 +996,14 @@ def eval_expr(e, tbl: pa.Table):
             if (pat is None and not hasattr(pat, "type")) or \
                     (esc is None):
                 return pa.nulls(n, pa.bool_())
+            if isinstance(esc, str) and len(esc) > 1:
+                # multi-char escape: no row matches, NULL stays NULL
+                # (v040/test_like_match.yaml id 28)
+                if hasattr(v, "type"):
+                    return pc.and_(pc.true_unless_null(v),
+                                   pa.array([False] * n))
+                return (pa.nulls(n, pa.bool_()) if v is None
+                        else pa.array([False] * n, pa.bool_()))
             import re as _re
             flags = _re.IGNORECASE if ic else 0
             if isinstance(pat, str) and not hasattr(v, "type"):

@@ -61,9 +61,10 @@ def tokenize(text: str) -> list[Tok]:
             q = c
             j = i + 1
             buf = []
-            _ESC = {"\\": "\\", "'": "'", '"': '"', "n": "\n",
-                    "t": "\t", "r": "\r", "0": "\0", "b": "\b",
-                    "f": "\f", "`": "`", "/": "/"}
+            # minimal set matching observed reference behavior
+            # (v040/test_like.yaml id 8: '\b' keeps the 'b', only the
+            # slash drops); unknown escapes keep the char
+            _ESC = {"\\": "\\", "'": "'", '"': '"', "`": "`"}
             while j < n:
                 if text[j] == "\\" and j + 1 < n:
                     # backslash escapes ('\\' is one backslash —

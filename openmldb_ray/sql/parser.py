@@ -347,9 +347,19 @@ class Parser:
                 # query/simple_query.yaml like_predicate_7/11); string
                 # literals stay plain strings for the vectorized kernel
                 pat = self.add_expr()
+                if isinstance(pat, Lit) and pat.val is None:
+                    # LIKE NULL is a compile error in the reference
+                    # (v040/test_like.yaml id 17)
+                    raise ValueError("LIKE pattern must not be NULL")
                 esc = None
                 if self.eat_kw("ESCAPE"):
-                    esc = str(self.next().val)
+                    et = self.next()
+                    if et.kind == "KW" and et.val == "NULL":
+                        raise ValueError("ESCAPE must not be NULL")
+                    esc = str(et.val)
+                    if len(esc) > 1:
+                        raise ValueError(
+                            "ESCAPE must be a single character")
                 pv = pat.val if isinstance(pat, Lit) and \
                     isinstance(pat.val, str) else pat
                 e = Like(e, pv, neg, ic, esc)

@@ -709,6 +709,15 @@ class Planner:
                 nm = self._name("gk")
                 derived[nm] = e
                 keys.append(nm)
+        if self.dialect == "openmldb" and keys and not derived:
+            # the reference rejects float/double grouping keys
+            # (v040/test_groupby.yaml ids 6-7: Untyped partition keys)
+            sch = ds.schema()
+            for k, t in zip(sch.names, sch.types):
+                if k in keys and t in (pa.float32(), pa.float64()):
+                    raise ValueError(
+                        f"GROUP BY key {k!r} has float type {t}; "
+                        "the reference rejects float partition keys")
         plan: dict = {}
         for nm, fn in agg_calls:
             kind = _GROUP_AGGS[fn.name]
@@ -717,6 +726,13 @@ class Planner:
                 plan[nm] = ("count", None)
                 continue
             a = fn.args[0]
+            from openmldb_ray.sql.ast import Lit
+            if self.dialect == "openmldb" and fn.name == "count" and \
+                    isinstance(a, Lit):
+                # count(const) is a compile error in the reference
+                # (v040/test_udaf.yaml id 1); count(*) is the valid form
+                raise ValueError("count over a constant is not "
+                                 "supported; use count(*)")
             if isinstance(a, Col):
                 col = a.name
             else:

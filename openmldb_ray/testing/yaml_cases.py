@@ -138,12 +138,36 @@ def _parse_spec(spec: dict):
     return names, types, rows if rows is not None else []
 
 
+_SQL_ESC = {"\\": "\\", "'": "'", '"': '"', "`": "`"}
+
+
+def _unescape(s: str) -> str:
+    """Input rows reach the reference through SQL INSERT literals, so
+    backslash escapes collapse ('\\\\' -> one backslash,
+    v040/test_like.yaml id 8). Expected rows are literal result values
+    and are NOT unescaped."""
+    if "\\" not in s:
+        return s
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] == "\\" and i + 1 < n:
+            out.append(_SQL_ESC.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _build_table(spec: dict) -> pa.Table:
     names, types, rows = _parse_spec(spec)
     cols = {n: [] for n in names}
     for row in rows:
         for n, t, v in zip(names, types, row):
-            cols[n].append(_coerce(v, t))
+            v = _coerce(v, t)
+            if isinstance(v, str) and pa.types.is_string(t):
+                v = _unescape(v)
+            cols[n].append(v)
     return pa.table({n: pa.array(cols[n], type=t)
                      for n, t in zip(names, types)})
 
@@ -213,6 +237,16 @@ def check_case(case: dict) -> None:
     if order and (order in got.columns
                   if isinstance(order, str) else True):
         got = got.sort_values(order, kind="stable")
+        # the reference harness sorts BOTH sides by the order column —
+        # expect rows are not necessarily pre-sorted
+        # (v040/test_groupby.yaml id 0: 'aa','bb','a%' under order c1)
+        if isinstance(order, str) and order in enames:
+            oi = enames.index(order)
+            ot = etypes[oi]
+            rows = sorted(rows, key=lambda r: (
+                _coerce(r[oi], ot) is None,
+                _coerce(r[oi], ot) if _coerce(r[oi], ot)
+                is not None else 0))
     elif not order and len(rows) > 1:
         # no order key: row order is unspecified (batch GROUP BY) —
         # canonicalize BOTH sides by a type-tolerant row key
@@ -283,6 +317,15 @@ def check_case(case: dict) -> None:
             else:
                 if isinstance(g, float):
                     assert g == g and int(round(g)) == e, \
+                        f"row {ri} col {n}: {g!r} != {e!r}"
+                elif hasattr(g, "isoformat") and not hasattr(g, "value"):
+                    # date result vs string expectation (GROUP BY date,
+                    # v040/test_groupby.yaml id 8)
+                    assert g.isoformat()[:10] == str(e), \
+                        f"row {ri} col {n}: {g!r} != {e!r}"
+                elif hasattr(g, "value") and hasattr(g, "tz_localize"):
+                    # pandas Timestamp vs epoch-ms int expectation
+                    assert int(g.value) // 1_000_000 == int(e), \
                         f"row {ri} col {n}: {g!r} != {e!r}"
                 else:
                     assert g == e, f"row {ri} col {n}: {g!r} != {e!r}"

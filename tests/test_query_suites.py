@@ -180,3 +180,34 @@ def test_extream_query(path, cid, ray_session):
                                  list(range(0, 6))))
 def test_fz_sql_query(path, cid, ray_session):
     _check(path, cid, ray_session)
+
+
+V040 = "/root/reference/cases/function/v040"
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{V040}/test_groupby.yaml",
+                                 list(range(0, 28))))
+def test_v040_groupby(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{V040}/test_like.yaml",
+                                 list(range(0, 30))))
+def test_v040_like(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{V040}/test_like_match.yaml",
+                                 list(range(0, 30))))
+def test_v040_like_match(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{V040}/test_udaf.yaml",
+                                 list(range(0, 6))))
+def test_v040_udaf(path, cid, ray_session):
+    _check(path, cid, ray_session)

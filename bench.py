@@ -228,9 +228,9 @@ def run_scaling() -> dict:
     one(8)
     lo, hi = 8, 32
     # single runs vary ~10-15% (plasma / page-cache state); take the
-    # best of 2 fresh processes per level — same protocol both levels
+    # best of 3 fresh processes per level — same protocol both levels
     def best(ncpu: int) -> dict:
-        runs = [one(ncpu) for _ in range(2)]
+        runs = [one(ncpu) for _ in range(3)]
         return min(runs, key=lambda r: r["queries"]["corpus_flagship"])
     r_lo, r_hi = best(lo), best(hi)
     t_lo = r_lo["queries"]["corpus_flagship"]
@@ -240,14 +240,14 @@ def run_scaling() -> dict:
     eff = thr_hi / (thr_lo * (hi / lo))
     return {
         "metric": "corpus_flagship scaling (sequences/sec at two "
-                  "parallelism levels, same input; best of 2 fresh "
+                  "parallelism levels, same input; best of 3 fresh "
                   "processes per level)",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
         "throughput_lo": round(thr_lo, 1),
         "throughput_hi": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "runs_per_level": 2,
+        "runs_per_level": 3,
         "bench_docs": SCALING_DOCS,
     }
 

@@ -163,9 +163,14 @@ def build_dim(with_ts: ray.data.Dataset,
     def pick(b: pa.Table) -> pa.Table:
         # doc_id = "<source>-<i:08d>": the numeric tail is the last 8
         # code units (doc index < 1e8 by construction at test/bench
-        # scale; beyond that, widen the format and this slice together)
-        nums = b["doc_id"].to_pandas().str[-8:].astype(np.int64)
-        keep = (nums % modulo == 0).to_numpy()
+        # scale; beyond that, widen the format and this slice together).
+        # Arrow-native slice+cast: the pandas .str path costed ~2s of
+        # the 32-CPU flagship wall at 32M rows
+        import pyarrow.compute as pc
+        tail = pc.utf8_slice_codeunits(
+            b["doc_id"].combine_chunks().cast(pa.string()), -8, 1 << 30)
+        nums = pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (nums % modulo) == 0
         t = b.filter(pa.array(keep))
         return pa.table({
             "source": t["source"],

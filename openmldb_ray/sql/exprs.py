@@ -975,6 +975,26 @@ def eval_expr(e, tbl: pa.Table):
             return pc.cast(v, ty, safe=False)  # C-style wraparound
         return pc.cast(v, ty)
     if isinstance(e, Func):
+        if e.name in ("fz_split", "fz_split_by_key",
+                      "fz_split_by_value", "fz_join"):
+            # row-level FeatureZero split/join
+            # (test_feature_zero_function.yaml id 2): split -> one
+            # list<string> per row; join -> delimiter-joined string
+            from openmldb_ray.functions import feature_zero as fz
+            args = [eval_expr(a, tbl) for a in e.args]
+            v, params = args[0], args[1:]
+            n = tbl.num_rows
+            vals = (v.to_pylist() if hasattr(v, "to_pylist")
+                    else [v] * n)
+            if e.name == "fz_join":
+                return pa.array(
+                    [fz.fz_join(x, *params) for x in vals],
+                    pa.string())
+            fn = {"fz_split": fz.fz_split,
+                  "fz_split_by_key": fz.fz_split_by_key,
+                  "fz_split_by_value": fz.fz_split_by_value}[e.name]
+            return pa.array([fn(s, *params) for s in vals],
+                            pa.list_(pa.string()))
         if e.name in ("like_match", "ilike_match"):
             # udf forms of LIKE (query/udf_query.yaml): NULL target,
             # pattern, or escape -> NULL; ''-escape disables escaping.

@@ -40,7 +40,8 @@ _WIN_DIRECT = {"sum", "count", "min", "max", "avg", "row_number",
                "at", "lag", "lead", "first_value",
                "sum_cate", "count_cate", "avg_cate", "min_cate",
                "max_cate", "fz_join", "fz_window_split",
-               "fz_window_split_by_key", "fz_window_split_by_value"}
+               "fz_window_split_by_key", "fz_window_split_by_value",
+               "fz_top1_ratio", "fz_topn_frequency"}
 
 
 class Catalog:
@@ -612,8 +613,30 @@ class Planner:
             derived[nm] = a
             return nm
 
+        _SPLIT_FNS = {"fz_window_split", "fz_window_split_by_key",
+                      "fz_window_split_by_value", "fz_split",
+                      "fz_split_by_key", "fz_split_by_value"}
         for nm, fn in calls:
             name = fn.name
+            if name in ("distinct_count", "count", "top1_ratio",
+                        "fz_top1_ratio", "topn_frequency",
+                        "fz_topn_frequency", "fz_join") and fn.args \
+                    and isinstance(fn.args[0], Func) \
+                    and fn.args[0].name in _SPLIT_FNS:
+                # composite FeatureZero form: agg over the flattened
+                # per-frame split items (test_feature_zero_function.yaml
+                # ids 1/3/4/5; reference udf registry composes these as
+                # list-typed UDAF arguments)
+                base = {"fz_top1_ratio": "top1_ratio",
+                        "fz_topn_frequency": "topn_frequency"}.get(
+                            name, name)
+                inner = fn.args[0]
+                iparams = tuple(const_eval(a) for a in inner.args[1:])
+                oparams = tuple(const_eval(a) for a in fn.args[1:])
+                aggs.append(Agg(base + "__split",
+                                argcol(inner.args[0]), nm,
+                                params=(inner.name,) + iparams + oparams))
+                continue
             if name == "lead" and self.dialect == "ansi":
                 k = int(const_eval(fn.args[1])) if len(fn.args) > 1 else 1
                 aggs.append(Agg("lead", argcol(fn.args[0]), nm, k=k))
@@ -671,7 +694,7 @@ class Planner:
                                 where=argcol(fn.args[1]),
                                 cate=argcol(fn.args[2]), **kw))
                 continue
-            if name in ("top", "topn_frequency"):
+            if name in ("top", "topn_frequency", "fz_topn_frequency"):
                 k = int(const_eval(fn.args[1]))
                 aggs.append(Agg(name, argcol(fn.args[0]), nm, k=k))
                 continue

@@ -161,6 +161,9 @@ def _unescape(s: str) -> str:
 
 def _build_table(spec: dict) -> pa.Table:
     names, types, rows = _parse_spec(spec)
+    rep = int(spec.get("repeat", 1))
+    if rep > 1:  # each row inserted `repeat` times (test_batch_request)
+        rows = [r for r in rows for _ in range(rep)]
     cols = {n: [] for n in names}
     for row in rows:
         for n, t, v in zip(names, types, row):
@@ -194,22 +197,54 @@ def run_case(case: dict, num_buckets: int = 2):
             spec = res
         name = spec.get("name", f"t{i}")
         tables[name] = ray.data.from_arrow(_build_table(spec))
+        if i == 0:
+            t0_name = name
         q = q.replace("{%d}" % i, name)
 
-    # reference time-unit literals are milliseconds against ms data;
-    # the lexer canonicalizes to us — rescale every Interval node
-    sel = parse(q)
-    for iv in collect(sel, Interval):
-        iv.micros //= 1000
-    if case.get("parameters"):
-        from openmldb_ray.sql.ast import Param
-        pn, pt, prows = _parse_spec(case["parameters"])
-        vals = [_coerce(v, t) for v, t in zip(prows[0], pt)]
-        for p in collect(sel, Param):
-            p.value = vals[p.idx]
-    from openmldb_ray.sql.planner import Catalog, Planner
-    ds = Planner(Catalog(None, tables), dialect="openmldb").plan(sel)
-    return ds.to_pandas(), case["expect"]
+    def plan_once():
+        # fresh parse per run: the planner rewrites the AST in place.
+        # Reference time-unit literals are milliseconds against ms
+        # data; the lexer canonicalizes to us — rescale Interval nodes
+        sel = parse(q)
+        for iv in collect(sel, Interval):
+            iv.micros //= 1000
+        if case.get("parameters"):
+            from openmldb_ray.sql.ast import Param
+            pn, pt, prows = _parse_spec(case["parameters"])
+            vals = [_coerce(v, t) for v, t in zip(prows[0], pt)]
+            for p in collect(sel, Param):
+                p.value = vals[p.idx]
+        from openmldb_ray.sql.planner import Catalog, Planner
+        ds = Planner(Catalog(None, tables), dialect="openmldb").plan(sel)
+        return ds.to_pandas()
+
+    if case.get("batch_request"):
+        # batch-request mode (SQLBatchRequestQueryTest): each request
+        # row is served independently — unioned as the newest element
+        # of ITS key's history, never seeing the other request rows.
+        # Per-request evaluation over base ∪ {row}; the output row is
+        # matched back by the projected request id column.
+        # common_column_indices is a computation-sharing hint with no
+        # result semantics and is ignored here.
+        import pandas as pd
+        bn, bt, brows = _parse_spec(case["batch_request"])
+        base = _build_table(case["inputs"][0]) if case.get("inputs") \
+            else pa.table({})
+        outs = []
+        for row in brows:
+            one = _build_table({**case["batch_request"],
+                                "rows": [row]})
+            tables[t0_name] = ray.data.from_arrow(
+                pa.concat_tables([base, one])
+                if base.num_rows else one)
+            df = plan_once()
+            idcol = next(c for c in bn if c in df.columns)
+            rid = _coerce(row[bn.index(idcol)], bt[bn.index(idcol)])
+            outs.append(df[df[idcol] == rid])
+        return (pd.concat(outs).reset_index(drop=True),
+                case["expect"])
+
+    return plan_once(), case["expect"]
 
 
 BATCH_UNSUPPORTED_MODES = ("batch-unsupport", "offline-unsupport")

@@ -338,8 +338,7 @@ def eval_aggs(
         return _frame_items(hv, start, hist_end, self_in, i, sv)
 
     for a in aggs:
-        f = {"fz_top1_ratio": "top1_ratio",
-             "fz_topn_frequency": "topn_frequency"}.get(a.func, a.func)
+        f = a.func
         base = f[:-6] if f.endswith("_where") else f
         where = a.where if f.endswith("_where") else None
 
@@ -608,6 +607,65 @@ def eval_aggs(
                                  f"{_fmt(r, vkind, agg_kind == 'avg')}")
                 res[i] = ",".join(parts)
             out[a.name] = res
+        elif base.endswith("__split"):
+            # composite FeatureZero aggs: outer agg over the flattened
+            # split items of every frame value (e.g.
+            # distinct_count(fz_window_split(c1, ","))) —
+            # test_feature_zero_function.yaml ids 1/3/4/5
+            from openmldb_ray.functions import feature_zero as fz
+            outer = base[: -len("__split")]
+            inner_name = a.params[0]
+            nip = 2 if inner_name.endswith(("_by_key", "_by_value")) \
+                else 1
+            iparams = tuple(a.params[1:1 + nip])
+            oparams = tuple(a.params[1 + nip:])
+            split_fn = {"fz_window_split": fz.fz_split,
+                        "fz_split": fz.fz_split,
+                        "fz_window_split_by_key": fz.fz_split_by_key,
+                        "fz_split_by_key": fz.fz_split_by_key,
+                        "fz_window_split_by_value": fz.fz_split_by_value,
+                        "fz_split_by_value": fz.fz_split_by_value
+                        }[inner_name]
+            v = values[a.col]
+            hv = hvalues[a.col]
+            res = (np.empty(n, dtype=object)
+                   if outer in ("fz_join", "topn_frequency")
+                   else np.full(n, np.nan))
+            for i in range(n):
+                flat: list = []
+                # frame rows iterate NEWEST-first (the reference window
+                # iterates from the instance row back); within one row
+                # the split keeps source order
+                for s in _frame_items(hv, start, hist_end, self_in,
+                                      i, v)[::-1]:
+                    flat.extend(split_fn(s, *iparams))
+                if outer == "count":
+                    res[i] = float(len(flat))
+                elif outer == "distinct_count":
+                    res[i] = float(len(set(flat)))
+                elif outer == "top1_ratio":
+                    # fz semantics: empty -> 0.0
+                    if flat:
+                        _, cnts = np.unique(flat, return_counts=True)
+                        res[i] = cnts.max() / len(flat)
+                    else:
+                        res[i] = 0.0
+                elif outer == "fz_join":
+                    res[i] = fz.fz_join(flat, *oparams)
+                else:  # topn_frequency: count desc, value asc, padded
+                    kk = int(oparams[0]) if oparams else (a.k or 1)
+                    if not flat:
+                        res[i] = ""  # no split items: no padding
+                        continue
+                    counts: dict = {}
+                    for x in flat:
+                        counts[x] = counts.get(x, 0) + 1
+                    ordered = sorted(counts)
+                    ordered.sort(key=counts.get, reverse=True)
+                    parts = [str(x) for x in ordered[:kk]]
+                    parts += ["NULL"] * (kk - len(parts))
+                    res[i] = ",".join(parts)
+            out[a.name] = res
         elif base in ("fz_window_split", "fz_window_split_by_key",
                       "fz_window_split_by_value", "fz_join"):
             from openmldb_ray.functions import feature_zero as fz
@@ -615,7 +673,9 @@ def eval_aggs(
             hv = hvalues[a.col]
             res = np.empty(n, dtype=object)
             for i in range(n):
-                items = _frame_items(hv, start, hist_end, self_in, i, v)
+                # newest-first, like the composite __split path above
+                items = _frame_items(hv, start, hist_end, self_in,
+                                     i, v)[::-1]
                 if base == "fz_join":
                     res[i] = fz.fz_join(items, *a.params)
                 else:
@@ -628,15 +688,38 @@ def eval_aggs(
                         out_items.extend(fn(s, *a.params))
                     res[i] = out_items
             out[a.name] = res
-        elif base == "top1_ratio":
+        elif base in ("top1_ratio", "fz_top1_ratio"):
             v = values[a.col]
             hv = hvalues[a.col]
-            res = np.full(n, np.nan)
+            # fz_top1_ratio yields 0.0 over an empty/all-null frame
+            # (test_feature_zero_function.yaml id 3 row 4); the plain
+            # form keeps NULL
+            res = (np.zeros(n) if base == "fz_top1_ratio"
+                   else np.full(n, np.nan))
             for i in range(n):
                 sl = _frame_items(hv, start, hist_end, self_in, i, v)
                 if sl:
                     vals, cnts = np.unique(sl, return_counts=True)
                     res[i] = cnts.max() / len(sl)
+            out[a.name] = res
+        elif base == "fz_topn_frequency":
+            # differs from plain topn_frequency: pads with 'NULL' to k
+            # and breaks count ties by ASCENDING value
+            # (test_feature_zero_function.yaml id 4)
+            v = values[a.col]
+            hv = hvalues[a.col]
+            vk = (col_kinds or {}).get(a.col)
+            res = np.empty(n, dtype=object)
+            for i in range(n):
+                items = _frame_items(hv, start, hist_end, self_in, i, v)
+                counts: dict = {}
+                for x in items:
+                    counts[x] = counts.get(x, 0) + 1
+                ordered = sorted(counts)
+                ordered.sort(key=counts.get, reverse=True)
+                parts = [_fmt(x, vk) for x in ordered[: a.k]]
+                parts += ["NULL"] * (a.k - len(parts))
+                res[i] = ",".join(parts)
             out[a.name] = res
         else:
             raise NotImplementedError(f"window func {f}")

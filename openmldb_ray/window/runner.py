@@ -53,14 +53,16 @@ from openmldb_ray.window.spec import Agg, WindowSpec
 _TAG = "__tag__"
 _BUCKET = "__bucket__"
 
-_INT_FUNCS = {"count", "count_where", "distinct_count", "row_number"}
+_INT_FUNCS = {"count", "count_where", "distinct_count", "row_number",
+              "count__split", "distinct_count__split"}
 _STR_FUNCS = {"top", "topn_frequency", "fz_topn_frequency", "sum_cate",
               "count_cate", "avg_cate", "min_cate", "max_cate",
               "sum_cate_where", "count_cate_where", "avg_cate_where",
               "min_cate_where", "max_cate_where",
               "top_n_key_sum_cate_where", "top_n_key_count_cate_where",
               "top_n_key_avg_cate_where", "top_n_key_min_cate_where",
-              "top_n_key_max_cate_where", "fz_join"}
+              "top_n_key_max_cate_where", "fz_join",
+              "fz_join__split", "topn_frequency__split"}
 _LIST_FUNCS = {"fz_window_split", "fz_window_split_by_key",
                "fz_window_split_by_value"}
 # value-passing funcs inherit string-ness from their input column

@@ -101,6 +101,10 @@ AGG_FUNCS = frozenset(
         "fz_top1_ratio", "fz_topn_frequency",
         "fz_window_split", "fz_window_split_by_key",
         "fz_window_split_by_value", "fz_join",
+        # composite FeatureZero aggs: outer agg over flattened
+        # per-frame split items (params[0] names the split function)
+        "count__split", "distinct_count__split", "top1_ratio__split",
+        "topn_frequency__split", "fz_join__split",
     }
 )
 

@@ -32,7 +32,10 @@ def test_window_forms(ray_session):
         Agg("fz_join", "s", "joined", params=("|",))],
         passthrough=["k", "ts"], num_buckets=2).to_pandas() \
         .sort_values("ts")
-    assert list(out["parts"].iloc[1]) == ["x:1", "y:2", "z:3"]
-    assert list(out["keys"].iloc[1]) == ["x", "y", "z"]
-    assert list(out["vals"].iloc[2]) == ["1", "2", "3"]  # null row skipped
-    assert out["joined"].iloc[1] == "x:1,y:2|z:3"
+    # frame iterates NEWEST-first (reference window order:
+    # test_feature_zero_function.yaml id 1 expects
+    # "k3:v3 k1:v1 k2:v2" on the second row)
+    assert list(out["parts"].iloc[1]) == ["z:3", "x:1", "y:2"]
+    assert list(out["keys"].iloc[1]) == ["z", "x", "y"]
+    assert list(out["vals"].iloc[2]) == ["3", "1", "2"]  # null row skipped
+    assert out["joined"].iloc[1] == "z:3|x:1,y:2"

@@ -278,3 +278,17 @@ def test_window_full_cases(path, cid, ray_session):
 @pytest.mark.parametrize("path,cid", _params(LJCOMPLEX, LJC_IDS))
 def test_lastjoin_complex_cases(path, cid, ray_session):
     _check(path, cid, ray_session)
+
+
+FZ = "/root/reference/cases/function/test_feature_zero_function.yaml"
+BR = "/root/reference/cases/function/test_batch_request.yaml"
+
+
+@pytest.mark.parametrize("path,cid", _params(FZ, list(range(1, 6))))
+def test_feature_zero_fn_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid", _params(BR, list(range(0, 9))))
+def test_batch_request_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)

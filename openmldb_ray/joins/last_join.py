@@ -61,22 +61,45 @@ class _RightIndex:
 
     def __init__(self, rt: pa.Table, right_on: list[str], order_by: str | None,
                  descending: bool, payload: list[str]):
-        n = rt.num_rows
         self.order_by = order_by
         self.descending = descending
         self.payload = payload
         keys = _keys_np(rt, right_on)
+        # NULL join keys form their OWN join group: the reference keys
+        # the right side by storage index, so a NULL-key left row
+        # matches NULL-key right rows (fz_ddl/test_luoji.yaml expects
+        # actionValue 3 for the NULL-reqId request). Nulls are moved to
+        # a suffix slice — None in an object key array would otherwise
+        # break lexsort.
+        import pandas as pd
+        null = pd.isnull(keys)
+        if null.any():
+            perm = np.concatenate([np.flatnonzero(~null),
+                                   np.flatnonzero(null)])
+            rt = rt.take(pa.array(perm))
+            keys = keys[perm]
+        n = rt.num_rows
+        nn = n - int(null.sum())  # non-null prefix length
+        self._null_lo, self._null_hi = nn, n
+
+        def _emp():
+            return np.empty(0, dtype=np.int64)
         # stable sort by (key, ts ascending); ties keep right-table
         # order; asof picks the LAST qualifying row -> max-ts
-        # (runner.cc:1957-1966)
+        # (runner.cc:1957-1966). Prefix and null suffix sort
+        # independently (the suffix by ts only).
         if order_by is not None:
             ts = rt[order_by].to_numpy(zero_copy_only=False)
-            order = np.lexsort((np.arange(n), ts, keys)) if n else \
-                np.empty(0, dtype=np.int64)
+            o1 = (np.lexsort((np.arange(nn), ts[:nn], keys[:nn]))
+                  if nn else _emp())
+            o2 = nn + (np.lexsort((np.arange(n - nn), ts[nn:]))
+                       if n > nn else _emp())
         else:
             ts = None
-            order = np.lexsort((np.arange(n), keys)) if n else \
-                np.empty(0, dtype=np.int64)
+            o1 = (np.lexsort((np.arange(nn), keys[:nn]))
+                  if nn else _emp())
+            o2 = nn + np.arange(n - nn, dtype=np.int64)
+        order = np.concatenate([o1, o2]) if n else _emp()
         keys_s = keys[order]
         self.ts = ts[order] if ts is not None else None
         self.rows = {c: rt[c].to_numpy(zero_copy_only=False)[order]
@@ -87,24 +110,43 @@ class _RightIndex:
         self.key_rows = {k: rt[k].to_numpy(zero_copy_only=False)[order]
                          for k in right_on} \
             if any(k not in payload for k in right_on) else {}
-        bounds = np.flatnonzero(keys_s[1:] != keys_s[:-1]) + 1 if n else \
+        kp = keys_s[:nn]  # searchable non-null prefix
+        bounds = np.flatnonzero(kp[1:] != kp[:-1]) + 1 if nn else \
             np.empty(0, dtype=np.int64)
         # array-form index (sorted uniq + slice bounds): ships through
         # the object store as zero-copy numpy buffers (a dict of keys
         # would re-pickle per task) and lookups are one searchsorted
-        self.starts = (np.concatenate(([0], bounds)) if n
+        self.starts = (np.concatenate(([0], bounds)) if nn
                        else bounds).astype(np.int64)
-        self.ends = (np.concatenate((bounds, [n])) if n
+        self.ends = (np.concatenate((bounds, [nn])) if nn
                      else bounds).astype(np.int64)
-        self.uniq = keys_s[self.starts] if n else keys_s
+        self.uniq = kp[self.starts] if nn else kp
 
     def locate(self, keys: np.ndarray):
-        """Vectorized key -> (lo, hi, matched)."""
-        pos = np.searchsorted(self.uniq, keys)
-        pos_c = np.clip(pos, 0, max(len(self.uniq) - 1, 0))
-        matched = (np.asarray(self.uniq[pos_c] == keys)
-                   if len(self.uniq) else np.zeros(len(keys), bool))
-        return self.starts[pos_c], self.ends[pos_c], matched
+        """Vectorized key -> (lo, hi, matched); NULL left keys match
+        the right side's NULL-key group (reference index semantics)."""
+        import pandas as pd
+        null = pd.isnull(keys)
+        has_null = bool(null.any())
+        if has_null:
+            keys = keys.copy()
+            keys[null] = self.uniq[0] if len(self.uniq) else 0
+        if len(self.uniq):
+            pos = np.searchsorted(self.uniq, keys)
+            pos_c = np.clip(pos, 0, len(self.uniq) - 1)
+            matched = np.asarray(self.uniq[pos_c] == keys)
+            lo, hi = self.starts[pos_c], self.ends[pos_c]
+        else:  # right side empty or all-NULL keys
+            matched = np.zeros(len(keys), bool)
+            lo = np.zeros(len(keys), np.int64)
+            hi = np.zeros(len(keys), np.int64)
+        if has_null:
+            if not lo.flags.writeable or len(self.uniq) == 0:
+                lo, hi = lo.copy(), hi.copy()
+            lo[null] = self._null_lo
+            hi[null] = self._null_hi
+            matched[null] = self._null_hi > self._null_lo
+        return lo, hi, matched
 
     def right_col(self, c: str) -> np.ndarray:
         if c in self.rows:
@@ -305,10 +347,22 @@ def last_join(
 
 
 def _collect(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
-    tables = [t for t in ds.select_columns(columns)
-              .iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    sel = ds.select_columns(columns)
+    tables = [t for t in
+              sel.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
     if not tables:
-        raise ValueError("empty right side")
+        # empty right side: typed empty table (joins emit all-null
+        # payload; fz_ddl/test_bank.yaml history tables start empty)
+        sch = sel.schema()
+        cols = {}
+        for nm, ty in zip(sch.names, sch.types):
+            if not isinstance(ty, pa.DataType):
+                try:
+                    ty = pa.from_numpy_dtype(ty)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    ty = pa.string()
+            cols[nm] = pa.array([], ty)
+        return pa.table(cols)
     return pa.concat_tables(tables)
 
 

@@ -11,6 +11,8 @@ SQL semantics notes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -524,6 +526,16 @@ def _sql_funcs():
         "pow": lambda a, b: pc.power(_num(a), _num(b)),
         "power": lambda a, b: pc.power(_num(a), _num(b)),
         "sin": pc.sin, "cos": pc.cos, "tan": pc.tan,
+        # documented alias/utility forms (udfs_8h.md)
+        "add": lambda a, b: pc.add(_num(a), _num(b)),
+        "inc": lambda a: pc.add(_num(a), 1),
+        "atan2": lambda a, b: pc.atan2(_num(a), _num(b)),
+        "degrees": lambda a: pc.multiply(_num(a), 180.0 / math.pi),
+        "radians": lambda a: pc.multiply(_num(a), math.pi / 180.0),
+        "maximum": lambda a, b: pc.max_element_wise(a, b),
+        "minimum": lambda a, b: pc.min_element_wise(a, b),
+        "character_length": F.char_length,
+        "if_null": _ifnull, "is_null": pc.is_null,
         "coalesce": pc.coalesce, "ifnull": _ifnull, "nvl": _ifnull,
         "nvl2": lambda x, a, b: pc.if_else(pc.is_valid(x), a, b),
         "isnull": pc.is_null,

@@ -184,6 +184,9 @@ class Parser:
                 alias = self.ident()
             return TableRef(None, alias, sub)
         name = self.ident()
+        if self.at_op("."):  # db-qualified table: db.tbl
+            self.next()
+            name += "." + self.ident()
         alias = None
         if self.eat_kw("AS"):
             alias = self.ident()
@@ -236,10 +239,20 @@ class Parser:
             while True:
                 if self.at_op("("):
                     self.next()
-                    w.union_tables.append(TableRef(None, None, self.select()))
+                    ref = TableRef(None, None, self.select())
                     self.expect_op(")")
                 else:
-                    w.union_tables.append(TableRef(self.ident(), None))
+                    un = self.ident()
+                    if self.at_op("."):  # db-qualified union table
+                        self.next()
+                        un += "." + self.ident()
+                    ref = TableRef(un, None)
+                if self.eat_kw("AS"):  # optional union-table alias
+                    ref.alias = self.ident()
+                elif self.peek().kind == "IDENT" and \
+                        not self.at_kw("PARTITION"):
+                    ref.alias = self.ident()
+                w.union_tables.append(ref)
                 if not self.eat_op(","):
                     break
         self.expect_kw("PARTITION")
@@ -572,6 +585,11 @@ class Parser:
             if self.at_op(".") :
                 self.next()
                 col = self.next()
+                if self.at_op("."):  # db.tbl.col three-part reference
+                    self.next()
+                    third = self.next()
+                    return Col(str(third.val),
+                               table=f"{name}.{col.val}")
                 return Col(str(col.val), table=name)
             return Col(name)
         raise ValueError(f"unexpected token {t.val!r} at {t.pos}")

@@ -101,7 +101,8 @@ class Planner:
         return f"__{prefix}{self._gen}__"
 
     # ----------------------------------------------------------- entry
-    def plan(self, sel: Select) -> ray.data.Dataset:
+    def plan(self, sel: Select,
+             carry_window_order: bool = False) -> ray.data.Dataset:
         if self.dialect == "openmldb":
             # OpenMLDB TIMESTAMP is stored as epoch ms and rendered at
             # the reference tz: casts go through the ms-unit path, and
@@ -159,6 +160,9 @@ class Planner:
         # column name / source text) before any qualifier rewriting
         out_names = [self._out_name(it) for it in sel.items]
         cols_referenced = {c.name for c in collect(sel, Col)}
+        if getattr(self, "carry_tag", None) \
+                and getattr(self, "_carrying", True):
+            cols_referenced.add(self.carry_tag)
         if any(isinstance(it.expr, Star) for it in sel.items):
             # SELECT * keeps every column — disable scan pruning
             cols_referenced = None
@@ -170,14 +174,22 @@ class Planner:
             base_alias = sel.table.alias or sel.table.name
             if base_alias:
                 scopes[base_alias] = {c: c for c in colset}
+                if "." in base_alias:  # db-qualified FROM table
+                    scopes.setdefault(base_alias.split(".")[-1],
+                                      scopes[base_alias])
         for j in sel.joins:
             ds, colset = self._join(ds, colset, j, cols_referenced,
                                     scopes)
         if scopes:
             for c in collect(sel, Col):
-                if c.table and c.table in scopes and \
-                        c.name in scopes[c.table]:
-                    c.name = scopes[c.table][c.name]
+                st = c.table
+                if st is not None and st not in scopes \
+                        and "." in st and st.split(".")[-1] in scopes:
+                    # db-qualified reference (db1.t0.c1) resolving a
+                    # table registered/aliased by its bare name
+                    st = st.split(".")[-1]
+                if st and st in scopes and c.name in scopes[st]:
+                    c.name = scopes[st][c.name]
                     c.table = None
         if sel.where is not None:
             ds = _filter(ds, sel.where)
@@ -204,12 +216,34 @@ class Planner:
             agg_calls.extend(hacs)
         if win_calls:
             ds = self._apply_windows(ds, sel, win_calls, colset)
+            if carry_window_order and not sel.group_by \
+                    and not sel.distinct and not sel.order_by \
+                    and getattr(self, "_win_order", None):
+                # hidden storage-order key for an enclosing LAST JOIN
+                # without ORDER BY: the window shuffle scrambles row
+                # order, but the reference picks the newest-by-index-ts
+                # match (fz_ddl/test_myhug.yaml id 0) — carry the
+                # window's order column so the join can order on it
+                out_items.append(SelectItem(Col(self._win_order),
+                                            "__jord__", "__jord__"))
         if sel.group_by or agg_calls:
             ds = self._apply_groupby(ds, sel, agg_calls)
             colset = set(ds.schema().names)
         if having is not None:
             ds = _filter(ds, having)
 
+        tag = getattr(self, "carry_tag", None)
+        if tag and getattr(self, "_carrying", True) \
+                and not sel.group_by and not agg_calls \
+                and not sel.distinct \
+                and not any(isinstance(it.expr, Star)
+                            for it in out_items) \
+                and tag in ds.schema().names \
+                and tag not in [it.alias for it in out_items]:
+            # request-mode instance marker (test harness): ride the
+            # tag column through every left-spine projection so the
+            # instance row is identifiable in the final output
+            out_items.append(SelectItem(Col(tag), tag, tag))
         ds = self._project(ds, out_items)
         out_names = [self._out_name(it) for it in out_items]
         if sel.distinct:
@@ -250,16 +284,33 @@ class Planner:
     def _join(self, left, lcols: set, j, referenced: set,
               scopes: dict | None = None):
         if j.table.subquery is not None:
-            right = self.plan(j.table.subquery)
+            prev_carry = getattr(self, "_carrying", True)
+            self._carrying = False  # tag rides the left spine only
+            try:
+                right = self.plan(j.table.subquery,
+                                  carry_window_order=(j.kind == "last"
+                                                      and j.order_by
+                                                      is None))
+            finally:
+                self._carrying = prev_carry
         else:
             right = self.catalog.load(j.table.name, referenced)
         rnames = list(right.schema().names)
+        hidden_ord = "__jord__" if "__jord__" in rnames else None
+        if hidden_ord:
+            rnames.remove(hidden_ord)
         rcols = set(rnames)
         r_alias = j.table.alias or j.table.name
 
         def side(c: Col) -> str:
             if c.table is not None:
-                return "r" if c.table == r_alias else "l"
+                # db-qualified refs match an alias by bare-name suffix
+                if c.table == r_alias or (
+                        r_alias and (c.table.split(".")[-1] == r_alias
+                                     or c.table ==
+                                     r_alias.split(".")[-1])):
+                    return "r"
+                return "l"
             inl, inr = c.name in lcols, c.name in rcols
             if inl and not inr:
                 return "l"
@@ -290,6 +341,14 @@ class Planner:
             from openmldb_ray.joins import last_join
             order_by = left_ts = None
             descending = False
+            if j.kind == "last" and j.order_by is not None and ineq:
+                # explicit ORDER BY: column inequalities are plain
+                # join conditions, not the as-of axis
+                # (multiple_databases id 11: ORDER BY c4 with
+                # c3 <= c3 filtering candidates)
+                residual = residual + [BinOp(op, a, b)
+                                       for a, b, op in ineq]
+                ineq = []
             if j.kind == "asof_left" or ineq:
                 if len(ineq) != 1:
                     raise ValueError(
@@ -316,6 +375,9 @@ class Planner:
                         f"type {t}; the reference requires an integer "
                         "or timestamp order key "
                         "(test_lastjoin_simple.yaml ids 7-10)")
+            if j.kind == "last" and order_by is None \
+                    and hidden_ord is not None:
+                order_by = hidden_ord
             # the reference's LAST JOIN emits right key columns too
             # (select * / {1}.key are addressable) — carry ALL right
             # columns as payload; collisions get the "_r" suffix
@@ -345,6 +407,8 @@ class Planner:
                 else:
                     ren[c] = c
             scopes[r_alias] = ren
+            if "." in r_alias:  # also addressable by bare table name
+                scopes.setdefault(r_alias.split(".")[-1], ren)
         return out, set(out.schema().names)
 
     # ----------------------------------------------------------- window
@@ -406,6 +470,7 @@ class Planner:
         for key, calls in groups.items():
             wd = defs[key]
             spec, sort_cols, derived = self._window_spec(wd)
+            self._win_order = sort_cols[0] if sort_cols else None
             aggs, derived2 = self._window_aggs(calls)
             derived.update(derived2)
             if derived:
@@ -423,8 +488,13 @@ class Planner:
                     # schema: union rows only FEED frames (never emit),
                     # so columns they lack — e.g. features computed by
                     # an earlier window stage — ride as typed nulls
-                    union_ds.append(_pad_to_schema(
-                        self.plan(tref.subquery), schema))
+                    prev_carry = getattr(self, "_carrying", True)
+                    self._carrying = False
+                    try:
+                        union_ds.append(_pad_to_schema(
+                            self.plan(tref.subquery), schema))
+                    finally:
+                        self._carrying = prev_carry
                     continue
                 # the reference requires FULL schema equality between
                 # the primary and every union table
@@ -438,6 +508,11 @@ class Planner:
                         self.catalog.load(tref.name, None), schema))
                     continue
                 u_full = self.catalog.full_schema(tref.name)
+                if main_full is not None and \
+                        "__reqtag__" in main_full.names:
+                    main_full = pa.schema(
+                        [f for f in main_full
+                         if f.name != "__reqtag__"])
                 if main_full is not None and u_full is not None and (
                         main_full.names != u_full.names
                         or list(main_full.types) != list(u_full.types)):

@@ -38,6 +38,12 @@ _TYPES = {
 def load_cases(path: str) -> dict:
     with open(path) as fh:
         doc = yaml.safe_load(fh)
+    for c in doc["cases"]:
+        if "expect" not in c and isinstance(
+                c.get("unequalExpect"), dict):
+            # batch vs request engines legitimately disagree
+            # (ut_case/test_unique_expect.yaml); this is the batch analog
+            c["expect"] = c["unequalExpect"].get("batch_expect", {})
     return {c["id"]: c for c in doc["cases"]}
 
 
@@ -134,7 +140,9 @@ def _parse_spec(spec: dict):
         rows = [[None if c in ("null", "NULL", "") else c for c in r]
                 for r in rows]
     else:
-        rows = spec["rows"]
+        # no rows at all = empty table (fz_ddl/test_bank.yaml inputs
+        # carry only a schema; data arrives via batch_request)
+        rows = spec.get("rows")
     return names, types, rows if rows is not None else []
 
 
@@ -197,11 +205,14 @@ def run_case(case: dict, num_buckets: int = 2):
             spec = res
         name = spec.get("name", f"t{i}")
         tables[name] = ray.data.from_arrow(_build_table(spec))
+        db = spec.get("db") or case.get("db")
+        if db:  # multi-database cases address db.table
+            tables[f"{db}.{name}"] = tables[name]
         if i == 0:
             t0_name = name
         q = q.replace("{%d}" % i, name)
 
-    def plan_once():
+    def plan_once(carry_tag: str | None = None):
         # fresh parse per run: the planner rewrites the AST in place.
         # Reference time-unit literals are milliseconds against ms
         # data; the lexer canonicalizes to us — rescale Interval nodes
@@ -215,8 +226,10 @@ def run_case(case: dict, num_buckets: int = 2):
             for p in collect(sel, Param):
                 p.value = vals[p.idx]
         from openmldb_ray.sql.planner import Catalog, Planner
-        ds = Planner(Catalog(None, tables), dialect="openmldb").plan(sel)
-        return ds.to_pandas()
+        planner = Planner(Catalog(None, tables), dialect="openmldb")
+        if carry_tag:
+            planner.carry_tag = carry_tag
+        return planner.plan(sel).to_pandas()
 
     if case.get("batch_request"):
         # batch-request mode (SQLBatchRequestQueryTest): each request
@@ -234,10 +247,30 @@ def run_case(case: dict, num_buckets: int = 2):
         for row in brows:
             one = _build_table({**case["batch_request"],
                                 "rows": [row]})
+            joined = (pa.concat_tables([base, one])
+                      if base.num_rows else one)
+            # instance marker: 0 for history rows, 1 for the request
+            # row; the planner rides it down the left spine so the
+            # request's output row is identifiable even when every
+            # source column is aliased away (fz_ddl suites)
+            tag = pa.array([0] * base.num_rows + [1], pa.int8())
             tables[t0_name] = ray.data.from_arrow(
-                pa.concat_tables([base, one])
-                if base.num_rows else one)
-            df = plan_once()
+                joined.append_column("__reqtag__", tag))
+            df = plan_once(carry_tag="__reqtag__")
+            tagcols = [c for c in df.columns
+                       if c.startswith("__reqtag__")]
+            if "__reqtag__" in df.columns:
+                picked = df[df["__reqtag__"] == 1].drop(
+                    columns=tagcols)
+                if len(picked) != 1:
+                    raise AssertionError(
+                        f"batch_request tag matched {len(picked)} "
+                        "rows (expected exactly the instance row)")
+                outs.append(picked)
+                continue
+            # fallback: match the request row back by a projected
+            # request id column
+            df = df.drop(columns=tagcols)
             idcol = next(c for c in bn if c in df.columns)
             rid = _coerce(row[bn.index(idcol)], bt[bn.index(idcol)])
             outs.append(df[df[idcol] == rid])
@@ -314,6 +347,12 @@ def check_case(case: dict) -> None:
         return
     assert [norm(c) for c in got.columns] == [norm(c) for c in enames], \
         (list(got.columns), enames)
+    if not rows and expect.get("count") is not None:
+        # count-only expectation (cluster/test_cluster_batch.yaml
+        # LIMIT cases): schema + row count, values unspecified
+        assert len(got) == int(expect["count"]), \
+            (len(got), expect["count"])
+        return
     assert len(got) == len(rows), (len(got), len(rows))
     for ri, row in enumerate(rows):
         for ci, (n, t, v) in enumerate(zip(enames, etypes, row)):

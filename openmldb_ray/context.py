@@ -137,14 +137,15 @@ def estimate_source_bytes(ds) -> int | None:
 def default_num_buckets(floor: int = 8, ds=None) -> int:
     """Shuffle bucket count.
 
-    Measured sweeps: at 22M rows under HASH_SHUFFLE, 2x cpus is optimal
-    (8 cpus: nb16 17.1s < nb8 18.3s; 32 cpus: nb32 7.5s ~ nb64 7.6s
-    < nb16 9.2s) — but each partition costs ~100-150 ms fixed, so a
-    100k-row job at 64 partitions pays ~2 s of pure setup (measured:
-    nb8 2.0s vs nb64 4.0s; 2M-row fused window: nb16 2.85s < nb32 3.0s
-    < nb64 3.7s). When the input size is knowable (exact for
+    Measured sweeps (round 2, LPT-balanced key buckets, 8M-row fused
+    window shuffle at 32 cpus): nb32 = cpus is the optimum — 2.6s vs
+    4.3s at nb64 = 2x cpus and 4.9s at nb16; per-partition fixed cost
+    (~100-150 ms: aggregator submit + finalize + task setup) dominates
+    past ~cpus partitions once buckets are balanced. Small jobs:
+    a 100k-row job at 64 partitions pays ~2 s of pure setup (measured:
+    nb8 2.0s vs nb64 4.0s). When the input size is knowable (exact for
     materialized inputs, else source file metadata), size buckets to
-    ~4 MB of in-memory input each, clamped to [4, 2x cpus]; unknown
+    ~8 MB of in-memory input each, clamped to [4, cpus]; unknown
     sizes keep the cpu-based default.
 
     At 100 TB raise this so one bucket stays under ~1-2 GB (buckets ~
@@ -153,10 +154,10 @@ def default_num_buckets(floor: int = 8, ds=None) -> int:
     cpus = cluster_cpus()
     if DataContext.get_current().shuffle_strategy == \
             ShuffleStrategy.HASH_SHUFFLE:
-        cap = max(floor, cpus * 2)
+        cap = max(floor, cpus)
         if ds is not None:
             est = estimate_source_bytes(ds)
             if est is not None:
-                return int(max(4, min(cap, est // (4 << 20))))
+                return int(max(4, min(cap, est // (8 << 20))))
         return cap
     return max(floor, cpus // 2)

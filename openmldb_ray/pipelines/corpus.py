@@ -32,6 +32,17 @@ from openmldb_ray.window import Agg, WindowSpec, window_agg
 VOCAB = 50257
 
 
+def _phase_log(label: str, t0: float) -> None:
+    """Wall-clock phase telemetry for BASELINE.md scaling analysis;
+    enabled by GRAFT_PHASE_LOG=1 (stderr, one line per phase)."""
+    import os
+    import sys
+    import time
+    if os.environ.get("GRAFT_PHASE_LOG"):
+        print(f"[phase] {label}: {time.time() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+
+
 class Tokenize:
     """Actor-pool stage: deterministic whitespace tokenization,
     batch-vectorized (one Arrow split + flat FNV pass per batch —
@@ -135,20 +146,72 @@ def _derive_ts(run: pa.Table) -> pa.Table:
     return run.append_column("ts", pa.array(ts, type=pa.int64()))
 
 
+def _doc_idx(doc_id_col) -> np.ndarray:
+    """doc_id "<source>-<i:08d>" -> int64 doc index (documented
+    derivation invariant, see build_dim)."""
+    import pyarrow.compute as pc
+    tail = pc.utf8_slice_codeunits(
+        doc_id_col.combine_chunks().cast(pa.string()), -8, 1 << 30)
+    return pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _derive_ts_with_asof(modulo: int):
+    """Position axis + CO-PARTITIONED as-of dim join in one pass.
+
+    The dim table (build_dim) is keyed by the same ``source`` the
+    window shuffle partitions on, so every dim row a row can match
+    lives in the SAME sorted run — the LAST JOIN (max dim_ts <= ts)
+    reduces to a local searchsorted, with no dim collect, no broadcast
+    and no second pass over the features. This is the 100 TB plan for
+    dims sharing the partition key (the reference serves LAST JOIN
+    from the same key's storage segment: IndexSeek/RequestUnion,
+    hybridse/src/vm/runner.h:957); the general ``last_join`` operator
+    stays for dims with foreign keys. Bit-equal to
+    ``last_join(feats, build_dim(feats), broadcast=True)`` (tested).
+    """
+    def fn(run: pa.Table) -> pa.Table:
+        run = _derive_ts(run)
+        ts = run["ts"].to_numpy(zero_copy_only=False)
+        idx = _doc_idx(run["doc_id"])
+        is_dim = (idx % modulo) == 0
+        dim_ts = ts[is_dim]
+        pay = run["n_tok"].to_numpy(zero_copy_only=False)[is_dim] \
+            .astype(np.int64)
+        if len(dim_ts) == 0:
+            payload = pa.nulls(run.num_rows, pa.int64())
+        else:
+            pos = np.searchsorted(dim_ts, ts, side="right") - 1
+            payload = pa.array(
+                np.where(pos >= 0, pay[np.maximum(pos, 0)], 0),
+                type=pa.int64(), mask=pos < 0)
+        return run.append_column("payload", payload)
+    return fn
+
+
 def corpus_features_fused(corpus: ray.data.Dataset,
                           num_buckets: int | None = None,
-                          key_buckets: dict | None = None
+                          key_buckets: dict | None = None,
+                          asof_modulo: int | None = None
                           ) -> ray.data.Dataset:
     """Position-axis derivation + BOTH window frames in a single
     shuffle: bucket by source, sort runs by doc_id, compute ts inside
     the run, evaluate both specs on the derived axis. This replaces
     three shuffles (axis groupby + two window stages) with one — the
-    bytes-moved win that matters at 100 TB."""
+    bytes-moved win that matters at 100 TB.
+
+    ``asof_modulo``: also evaluate the co-partitioned as-of dim join
+    inside the same pass (_derive_ts_with_asof) — adds a ``payload``
+    column; no extra materialization or pass."""
     from openmldb_ray.window.runner import window_agg_multi
+    passthrough = ["doc_id", "source", "ts", "n_tok"]
+    rt = _derive_ts if asof_modulo is None \
+        else _derive_ts_with_asof(asof_modulo)
+    if asof_modulo is not None:
+        passthrough = passthrough + ["payload"]
     return window_agg_multi(
         corpus, [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)],
-        passthrough=["doc_id", "source", "ts", "n_tok"],
-        sort_cols=["doc_id"], run_transform=_derive_ts,
+        passthrough=passthrough,
+        sort_cols=["doc_id"], run_transform=rt,
         input_cols=["doc_id", "n_tok", "source"],
         num_buckets=num_buckets, key_buckets=key_buckets)
 
@@ -185,7 +248,8 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
                               hot_frac: float = 0.05,
                               min_rows: int = 100_000,
                               materialize: bool = True,
-                              pin_dir: str | None = None
+                              pin_dir: str | None = None,
+                              asof_modulo: int | None = None
                               ) -> ray.data.Dataset:
     """Fused corpus features with explicit hot-key handling: sources
     holding > ``hot_frac`` of rows are split out and processed
@@ -205,12 +269,16 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     # resumable parquet checkpoint — the 100 TB mode, where the slim
     # projection exceeds aggregate object-store memory and a killed run
     # must not redo the tokenize pass (manifest + _SUCCESS semantics).
+    import time
+    t0 = time.time()
     slim = corpus.select_columns(["doc_id", "n_tok", "source"])
     if pin_dir is not None:
         from openmldb_ray.state.checkpoint import checkpoint
         slim = checkpoint(slim, pin_dir)
     else:
         slim = slim.materialize()
+    _phase_log("slim pin (read+materialize)", t0)
+    t0 = time.time()
     if num_buckets is None:
         # resolve HERE where the slim size is exactly known (pinned) —
         # downstream lazy branches would fall back to the raw-file
@@ -222,6 +290,7 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     # hashing ~num_buckets uniform keys into num_buckets partitions
     # leaves 2-4x stragglers (balls-in-bins); measured counts don't
     counts = key_counts(slim, "source")
+    _phase_log("key_counts", t0)
     total = int(counts.sum())
     hot = counts[(counts > total * hot_frac)
                  & (counts >= min_rows)].index.tolist()
@@ -229,7 +298,8 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     kb = pack_key_buckets(cold_counts,
                           min(num_buckets, max(1, len(cold_counts))))
     if not hot:
-        out = corpus_features_fused(slim, num_buckets, key_buckets=kb)
+        out = corpus_features_fused(slim, num_buckets, key_buckets=kb,
+                                    asof_modulo=asof_modulo)
         return out.materialize() if materialize else out
     hot_arr = np.array(sorted(hot))
 
@@ -241,15 +311,23 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     specs = [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)]
 
     def cold_branch():
-        out = corpus_features_fused(cold, num_buckets, key_buckets=kb)
-        return out.materialize() if materialize else out
+        t = time.time()
+        out = corpus_features_fused(cold, num_buckets, key_buckets=kb,
+                                    asof_modulo=asof_modulo)
+        out = out.materialize() if materialize else out
+        _phase_log("cold branch (fused window shuffle)", t)
+        return out
 
     def hot_branch(k):
+        t = time.time()
         sub = slim.map_batches(
             lambda b, kk=k: b.filter(pa.compute.equal(b["source"], kk)),
             batch_format="pyarrow")
-        out = hot_entity_corpus_features(sub, k, specs)
-        return out.materialize() if materialize else out
+        out = hot_entity_corpus_features(sub, k, specs,
+                                         asof_modulo=asof_modulo)
+        out = out.materialize() if materialize else out
+        _phase_log(f"hot branch {k}", t)
+        return out
 
     # the cold fused shuffle and every hot branch (range sort + block
     # summaries -> driver plan -> pass 2) execute CONCURRENTLY, one
@@ -259,8 +337,12 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     # returned union is a cheap block passthrough for every consumer.
     # On small nodes full overlap oversubscribes the CPUs (each branch
     # is itself a parallel shuffle) — cap concurrent branches by size.
+    import os
+
     from openmldb_ray.context import cluster_cpus
     workers = max(1, min(1 + len(hot), cluster_cpus() // 8))
+    if os.environ.get("GRAFT_BRANCH_WORKERS"):
+        workers = int(os.environ["GRAFT_BRANCH_WORKERS"])
     with ThreadPoolExecutor(max_workers=workers) as ex:
         cold_fut = ex.submit(cold_branch)
         branch_futs = [ex.submit(hot_branch, k) for k in hot]
@@ -273,25 +355,37 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
 def run_flagship(corpus: ray.data.Dataset, num_buckets: int | None = None,
                  include_tokens: bool = False,
                  materialize_axis: bool = True,
-                 dim_modulo: int = 7) -> ray.data.Dataset:
+                 dim_modulo: int = 7,
+                 fuse_asof: bool = True) -> ray.data.Dataset:
     """The full BASELINE.md workload over an in-shape corpus Dataset:
     one output row per corpus doc with window features and the as-of
     dim payload.
 
-    ``with_ts`` (slim: 4 narrow columns, no tokens) is pinned by default
-    because two branches (features, dim) consume it — otherwise each
-    branch re-executes the corpus lineage. The pin happens INSIDE
-    corpus_features_skewaware (per branch, concurrently); the union of
-    pinned branches is a cheap passthrough for both consumers. At
-    100 TB the analog is a parquet checkpoint
-    (state.checkpoint.checkpoint), not an object-store pin; callers
-    choose via ``materialize_axis``.
+    Two plans, bit-equal results (tested):
+
+    - ``fuse_asof=True`` (default): the dim shares the window's
+      partition key, so the as-of join evaluates INSIDE the window
+      stage (_derive_ts_with_asof) — no feature materialization, no
+      dim collect, no join pass; the whole pipeline (cold shuffle, hot
+      block-parallel branches, write) executes as ONE streaming plan
+      with backpressure. The 100 TB plan for same-key dims.
+    - ``fuse_asof=False``: explicit ``build_dim`` + broadcast
+      ``last_join`` — the general plan for dims with foreign keys;
+      features are pinned (``materialize_axis``) because two branches
+      consume them. At 100 TB the pin's analog is a parquet checkpoint
+      (state.checkpoint.checkpoint).
     """
-    feats = corpus_features_skewaware(corpus, num_buckets,
-                                      materialize=materialize_axis)
-    dim = build_dim(feats, modulo=dim_modulo)
-    joined = last_join(feats, dim, on="source", order_by="dim_ts",
-                       left_ts="ts", payload=["payload"], broadcast=True)
+    if fuse_asof:
+        joined = corpus_features_skewaware(corpus, num_buckets,
+                                           materialize=False,
+                                           asof_modulo=dim_modulo)
+    else:
+        feats = corpus_features_skewaware(corpus, num_buckets,
+                                          materialize=materialize_axis)
+        dim = build_dim(feats, modulo=dim_modulo)
+        joined = last_join(feats, dim, on="source", order_by="dim_ts",
+                           left_ts="ts", payload=["payload"],
+                           broadcast=True)
     if include_tokens:
         # tokens were projected out before every shuffle; re-attach by
         # doc_id (list payloads need the explicit bucketed join)

@@ -273,16 +273,34 @@ def salted_window_agg(
 
 class _BlockSummary:
     """Pass 1: per sorted block, emit (first_key, rows, ntok_total,
-    tail arrays) — a few KB per block."""
+    tail arrays) — a few KB per block. With ``asof_modulo`` set, also
+    this block's LAST dim row (local ts + payload) so the driver scan
+    can hand each block the newest dim row preceding it (the
+    co-partitioned as-of join carry; see corpus._derive_ts_with_asof).
+    """
 
     def __init__(self, value_col: str, order_col: str, tail_rows: int,
-                 tail_range: int):
+                 tail_range: int, asof_modulo: int | None = None,
+                 verify_sorted: bool = False):
         self.value_col = value_col
         self.order_col = order_col
         self.tail_rows = tail_rows
         self.tail_range = tail_range
+        self.asof_modulo = asof_modulo
+        self.verify_sorted = verify_sorted
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return self._empty()
+        if self.verify_sorted:
+            import pyarrow.compute as pc
+            col = b[self.order_col].combine_chunks()
+            ok = pc.all(pc.less(col.slice(0, len(col) - 1),
+                                col.slice(1))).as_py()
+            if ok is not True:
+                raise _NotPresorted(
+                    f"block of {b.num_rows} rows is not strictly "
+                    f"ascending by {self.order_col!r}")
         v = b[self.value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         local_ts = np.concatenate(([0], np.cumsum(v)[:-1]))
         end_ts = local_ts[-1] + v[-1] if len(v) else 0
@@ -294,33 +312,74 @@ class _BlockSummary:
             cut = max(cut, k - int(np.searchsorted(
                 local_ts, end_ts - self.tail_range, side="left")))
         cut = min(cut, k)
+        dim_last_ts, dim_last_pay = -1, 0
+        if self.asof_modulo is not None and k:
+            from openmldb_ray.pipelines.corpus import _doc_idx
+            idx = _doc_idx(b[self.order_col])
+            dims = np.flatnonzero((idx % self.asof_modulo) == 0)
+            if len(dims):
+                dim_last_ts = int(local_ts[dims[-1]])
+                dim_last_pay = int(v[dims[-1]])
         return pa.table({
             "first_doc": [b[self.order_col][0].as_py()],
+            "last_doc": [b[self.order_col][k - 1].as_py()],
             "n_rows": pa.array([k], type=pa.int64()),
             "ntok_total": pa.array([int(end_ts)], type=pa.int64()),
             "tail_vals": pa.array([v[k - cut:].tolist()],
                                   type=pa.list_(pa.int64())),
             "tail_ts": pa.array([local_ts[k - cut:].tolist()],
                                 type=pa.list_(pa.int64())),
+            "dim_last_ts": pa.array([dim_last_ts], type=pa.int64()),
+            "dim_last_pay": pa.array([dim_last_pay], type=pa.int64()),
         })
+
+    def _empty(self) -> pa.Table:
+        return pa.table({
+            "first_doc": pa.array([], type=pa.string()),
+            "last_doc": pa.array([], type=pa.string()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "ntok_total": pa.array([], type=pa.int64()),
+            "tail_vals": pa.array([], type=pa.list_(pa.int64())),
+            "tail_ts": pa.array([], type=pa.list_(pa.int64())),
+            "dim_last_ts": pa.array([], type=pa.int64()),
+            "dim_last_pay": pa.array([], type=pa.int64()),
+        })
+
+
+class _NotPresorted(Exception):
+    """Raised when a claimed-presorted layout fails verification."""
 
 
 def _assemble_offsets(summary_rows: list[dict], tail_rows: int,
                       tail_range: int) -> dict:
     """Driver prefix scan: per block (keyed by first order value) ->
-    (ts_offset, history ts array, history value array)."""
+    (ts_offset, history ts array, history value array, incoming
+    last-dim (ts, payload) — the newest dim row before the block, or
+    (-1, 0) when none)."""
     rows = sorted(summary_rows, key=lambda r: r["first_doc"])
+    # exactness guard for verified-presorted layouts: block key ranges
+    # must not interleave (a split shuffle partition or an unsorted
+    # source would silently corrupt every frame otherwise)
+    for prev, cur in zip(rows, rows[1:]):
+        if "last_doc" in prev and prev["last_doc"] >= cur["first_doc"]:
+            raise _NotPresorted(
+                f"block ranges interleave: [..{prev['last_doc']}] vs "
+                f"[{cur['first_doc']}..]")
     out: dict = {}
     offset = 0
     # rolling global-ts history (tail of everything before this block)
     hist_ts = np.empty(0, dtype=np.int64)
     hist_vals = np.empty(0, dtype=np.int64)
+    dim_carry = (-1, 0)
     for r in rows:
-        out[r["first_doc"]] = (offset, hist_ts, hist_vals)
+        out[r["first_doc"]] = (offset, hist_ts, hist_vals, dim_carry)
         bt = np.asarray(r["tail_ts"], dtype=np.int64) + offset
         bv = np.asarray(r["tail_vals"], dtype=np.int64)
         hist_ts = np.concatenate([hist_ts, bt])
         hist_vals = np.concatenate([hist_vals, bv])
+        if int(r.get("dim_last_ts", -1)) >= 0:
+            dim_carry = (int(r["dim_last_ts"]) + offset,
+                         int(r["dim_last_pay"]))
         offset += r["ntok_total"]
         # trim: keep only what any future frame can reach
         keep_from = 0
@@ -338,7 +397,7 @@ class _BlockWindow:
     emit block rows only."""
 
     def __init__(self, plan_ref, specs_aggs, value_col, order_col,
-                 key_col, key_value):
+                 key_col, key_value, asof_modulo=None):
         self.plan = ray.get(plan_ref) if isinstance(
             plan_ref, ray.ObjectRef) else plan_ref
         self.specs_aggs = specs_aggs
@@ -346,10 +405,33 @@ class _BlockWindow:
         self.order_col = order_col
         self.key_col = key_col
         self.key_value = key_value
+        self.asof_modulo = asof_modulo
+
+    def _empty(self, b: pa.Table) -> pa.Table:
+        from openmldb_ray.window.runner import sum_source_type
+        cols = {
+            "doc_id": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "ts": pa.array([], type=pa.int64()),
+            "n_tok": pa.array([], type=b.schema.field(self.value_col).type),
+        }
+        if self.asof_modulo is not None:
+            cols["payload"] = pa.array([], type=pa.int64())
+        for _, aggs in self.specs_aggs:
+            for a in aggs:
+                if a.func in ("count", "count_where", "distinct_count",
+                              "row_number"):
+                    t = pa.int64()
+                else:
+                    t = sum_source_type(a, b.schema) or pa.float64()
+                cols[a.name] = pa.array([], type=t)
+        return pa.table(cols)
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return self._empty(b)
         first = b[self.order_col][0].as_py()
-        offset, hist_ts, hist_vals = self.plan[first]
+        offset, hist_ts, hist_vals, dim_carry = self.plan[first]
         v = b[self.value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         local_ts = np.concatenate(([0], np.cumsum(v)[:-1])) + offset
         nh, nb = len(hist_ts), len(v)
@@ -363,6 +445,24 @@ class _BlockWindow:
             "ts": pa.array(local_ts, type=pa.int64()),
             "n_tok": b[self.value_col],
         }
+        if self.asof_modulo is not None:
+            # co-partitioned as-of dim: local dim rows + the carried
+            # newest-before-block dim row from the driver plan
+            from openmldb_ray.pipelines.corpus import _doc_idx
+            idx = _doc_idx(b[self.order_col])
+            dims = (idx % self.asof_modulo) == 0
+            dts = local_ts[dims]
+            dpay = v[dims]
+            if dim_carry[0] >= 0:
+                dts = np.concatenate(([dim_carry[0]], dts))
+                dpay = np.concatenate(([dim_carry[1]], dpay))
+            if len(dts) == 0:
+                cols["payload"] = pa.nulls(nb, pa.int64())
+            else:
+                pos = np.searchsorted(dts, local_ts, side="right") - 1
+                cols["payload"] = pa.array(
+                    np.where(pos >= 0, dpay[np.maximum(pos, 0)], 0)
+                    .astype(np.int64), type=pa.int64(), mask=pos < 0)
         from openmldb_ray.window.runner import (emit_wrapped_int_sum,
                                                 sum_source_type)
         for spec, aggs in self.specs_aggs:
@@ -390,30 +490,66 @@ def hot_entity_corpus_features(
     value_col: str = "n_tok",
     order_col: str = "doc_id",
     key_col: str = "source",
+    asof_modulo: int | None = None,
+    layout: str = "auto",
 ) -> ray.data.Dataset:
     """Block-parallel corpus window features for ONE hot entity.
 
     ``sub`` must contain only this entity's rows. Row_number within
     kernel runs is per-block — don't use row_number aggs here.
+    ``asof_modulo``: also evaluate the co-partitioned as-of dim join
+    (payload column) — dim rows from earlier blocks arrive via the
+    driver plan's last-dim carry.
+
+    ``layout`` (how blocks become the sorted-run partition):
+
+    - ``"auto"`` (default): try the zero-shuffle presorted path, fall
+      back to the sort path if verification fails;
+    - ``"presorted"``: the source layout already delivers this
+      entity's rows in ascending ``order_col`` order within AND
+      across blocks (append-only logs, ingest-ordered corpora). The
+      hot branch then needs NO shuffle at all — summaries + pass 2
+      run straight over the filtered blocks. VERIFIED at runtime:
+      every block checks strict per-block order and the driver scan
+      checks block ranges don't interleave (_NotPresorted on
+      violation) — exactness never rests on the hint;
+    - ``"sort"``: range-shuffle sort + rebalance (any layout).
     """
     tail_rows = max((s.preceding_rows or 0) for s, _ in specs_aggs) + 1
     tail_range = max((s.preceding_range or 0) for s, _ in specs_aggs)
+    specs = [(s, list(a)) for s, a in specs_aggs]
 
+    def run(ordered: ray.data.Dataset, verify: bool):
+        summaries = ordered.map_batches(
+            _BlockSummary(value_col, order_col, tail_rows, tail_range,
+                          asof_modulo, verify_sorted=verify),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+        plan = _assemble_offsets(summaries.take_all(), tail_rows,
+                                 tail_range)
+        plan_ref = ray.put(plan)
+
+        def block_window(b: pa.Table) -> pa.Table:
+            return _BlockWindow(ray.get(plan_ref), specs, value_col,
+                                order_col, key_col, key_value,
+                                asof_modulo)(b)
+
+        return ordered.map_batches(block_window, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True)
+
+    if layout in ("auto", "presorted"):
+        try:
+            return run(sub, verify=True)
+        except Exception as e:  # _NotPresorted may arrive wrapped in
+            unsorted = isinstance(e, _NotPresorted) or \
+                "_NotPresorted" in str(type(getattr(e, "cause", None))) \
+                or "not strictly ascending" in str(e) \
+                or "block ranges interleave" in str(e)
+            if not unsorted or layout == "presorted":
+                raise
     cpus = int(ray.cluster_resources().get("CPU", 4))
     # right-size blocks: enough for every CPU, big enough to amortize
     # the per-block summary/plan overhead
     ordered = sub.select_columns([order_col, value_col]) \
         .sort(order_col).repartition(max(8, cpus)).materialize()
-    summaries = ordered.map_batches(
-        _BlockSummary(value_col, order_col, tail_rows, tail_range),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    plan = _assemble_offsets(summaries.take_all(), tail_rows, tail_range)
-    plan_ref = ray.put(plan)
-    specs = [(s, list(a)) for s, a in specs_aggs]
-
-    def block_window(b: pa.Table) -> pa.Table:
-        return _BlockWindow(ray.get(plan_ref), specs, value_col,
-                            order_col, key_col, key_value)(b)
-
-    return ordered.map_batches(block_window, batch_format="pyarrow",
-                               batch_size=None, zero_copy_batch=True)
+    return run(ordered, verify=False)

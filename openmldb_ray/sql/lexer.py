@@ -121,6 +121,13 @@ def tokenize(text: str) -> list[Tok]:
                 toks.append(Tok("NUM", float(lit), i))
                 i = j + 1
                 continue
+            # bigint literal suffix: 0L / 15L (usecase/autox.yaml)
+            if not isfloat and j < n and text[j] in "lL" and (
+                    j + 1 >= n or not (text[j + 1].isalnum()
+                                       or text[j + 1] == "_")):
+                toks.append(Tok("NUM", int(lit), i))
+                i = j + 1
+                continue
             toks.append(Tok("NUM", float(lit) if isfloat else int(lit), i))
             i = j
             continue

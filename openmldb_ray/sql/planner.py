@@ -478,6 +478,20 @@ class Planner:
             schema = ds.schema()
             self._check_window_types(spec, sort_cols, aggs, schema)
             passthrough = sorted(set(schema.names))
+
+            def with_derived(u):
+                # union rows FEED frames, so window-argument columns
+                # derived from base columns (count_where conditions,
+                # computed aggregands — usecase/autox.yaml w2_visa_cnt)
+                # must be computed on union rows too; only columns
+                # whose inputs the union table lacks ride as nulls
+                if not derived:
+                    return u
+                names = set(u.schema().names)
+                ok = {nm: ex for nm, ex in derived.items()
+                      if {c.name for c in collect(ex, Col)} <= names}
+                return _add_columns(u, ok) if ok else u
+
             union_ds = []
             main_full = (self.catalog.full_schema(sel.table.name)
                          if sel.table is not None and sel.table.name
@@ -492,7 +506,8 @@ class Planner:
                     self._carrying = False
                     try:
                         union_ds.append(_pad_to_schema(
-                            self.plan(tref.subquery), schema))
+                            with_derived(self.plan(tref.subquery)),
+                            schema))
                     finally:
                         self._carrying = prev_carry
                     continue
@@ -505,7 +520,8 @@ class Planner:
                 # pad/cast rather than name equality.
                 if sel.joins:
                     union_ds.append(_pad_to_schema(
-                        self.catalog.load(tref.name, None), schema))
+                        with_derived(self.catalog.load(tref.name, None)),
+                        schema))
                     continue
                 u_full = self.catalog.full_schema(tref.name)
                 if main_full is not None and \
@@ -524,7 +540,8 @@ class Planner:
                 # (chained multi-window queries, test_window.yaml id
                 # 32) ride as typed nulls in union rows
                 union_ds.append(_pad_to_schema(
-                    self.catalog.load(tref.name, None), schema))
+                    with_derived(self.catalog.load(tref.name, None)),
+                    schema))
             ds = window_agg_multi(
                 ds, [(spec, aggs)], union_ds=union_ds,
                 passthrough=passthrough, sort_cols=sort_cols)

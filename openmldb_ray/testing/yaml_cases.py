@@ -179,8 +179,94 @@ def _build_table(spec: dict) -> pa.Table:
             if isinstance(v, str) and pa.types.is_string(t):
                 v = _unescape(v)
             cols[n].append(v)
-    return pa.table({n: pa.array(cols[n], type=t)
-                     for n, t in zip(names, types)})
+    table = pa.table({n: pa.array(cols[n], type=t)
+                      for n, t in zip(names, types)})
+    # reference STORAGE order: the online table iterates each index
+    # key's skiplist newest-ts-first (src/storage/segment.h:145-148),
+    # and LAST JOIN without ORDER BY picks the first row in that order
+    # — usecase/autox.yaml expects the newest t2 row. Mirror the
+    # loader: WITHIN each first-index key, stable ts-descending; key
+    # groups keep first-appearance (insertion) order — a full scan is
+    # not globally ts-ordered (expression/test_predicate.yaml id 8).
+    idx = spec.get("indexs") or ()
+    if idx:
+        parts = str(idx[0]).split(":")
+        key_cols = [c for c in (parts[1].split("|")
+                                if len(parts) > 1 else []) if c]
+        ts_col = parts[2] if len(parts) > 2 else None
+        if ts_col and ts_col in table.column_names \
+                and all(c in table.column_names for c in key_cols) \
+                and table.num_rows > 1:
+            import pyarrow.compute as pc
+            kvals = (list(zip(*[table[c].to_pylist()
+                                for c in key_cols]))
+                     if key_cols else [()] * table.num_rows)
+            rank: dict = {}
+            for kv in kvals:
+                rank.setdefault(kv, len(rank))
+            tmp = table.select([ts_col]).append_column(
+                "__rank__", pa.array([rank[kv] for kv in kvals],
+                                     type=pa.int32()))
+            order = pc.sort_indices(
+                tmp, sort_keys=[("__rank__", "ascending"),
+                                (ts_col, "descending")],
+                null_placement="at_end")
+            table = table.take(order)
+    return table
+
+
+def _run_script_case(case: dict, tables: dict, names_order: list,
+                     aliases: dict):
+    """``sqls:`` statement-sequence cases (out_in suite): INTO OUTFILE
+    / LOAD DATA / SELECT threaded through one SqlSession with a fresh
+    temp workdir. ``expect.cat`` compares the produced file's lines
+    (multiset + first line: intra-file row order is reference-storage
+    order, which this engine does not reproduce)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from openmldb_ray.sql.ast import Interval
+    from openmldb_ray.sql.exprs import collect
+    from openmldb_ray.sql.parser import parse
+    from openmldb_ray.sql.planner import Catalog, Planner
+    from openmldb_ray.sql.script import SqlSession
+
+    tmp = tempfile.mkdtemp(prefix="openmldb_outin_")
+
+    def sub(s: str) -> str:
+        for i, nm in enumerate(names_order):
+            s = s.replace("{%d}" % i, nm)
+        return s
+
+    def run_sel(qstr):
+        sel = parse(qstr)
+        for iv in collect(sel, Interval):
+            iv.micros //= 1000
+        return Planner(Catalog(None, tables),
+                       dialect="openmldb").plan(sel)
+
+    session = SqlSession(tables, run_select=run_sel, workdir=tmp,
+                         aliases=aliases)
+    last = None
+    for s in case["sqls"]:
+        r = session.execute(sub(s))
+        if r is not None:
+            last = r.to_pandas()
+    exp = case.get("expect", {}) or {}
+    if "cat" in exp:
+        cat = exp["cat"]
+        p = sub(cat["path"])
+        if not os.path.isabs(p):
+            p = os.path.join(tmp, p)
+        with open(p) as fh:
+            got_lines = fh.read().splitlines()
+        want = [str(x) for x in cat["lines"]]
+        assert sorted(got_lines) == sorted(want), (got_lines, want)
+        assert got_lines[0] == want[0], (got_lines[0], want[0])
+        return (pd.DataFrame(), {})
+    return (last if last is not None else pd.DataFrame(), exp)
 
 
 def run_case(case: dict, num_buckets: int = 2):
@@ -193,7 +279,9 @@ def run_case(case: dict, num_buckets: int = 2):
     from openmldb_ray.sql.parser import parse
 
     tables = {}
-    q = case["sql"]
+    q = case.get("sql", "")
+    names_order: list[str] = []
+    aliases: dict[str, set] = {}
     for i, spec in enumerate(case.get("inputs") or ()):
         if "resource" in spec:
             # shared table spec (cases/resource/*.yaml) referenced by
@@ -205,12 +293,19 @@ def run_case(case: dict, num_buckets: int = 2):
             spec = res
         name = spec.get("name", f"t{i}")
         tables[name] = ray.data.from_arrow(_build_table(spec))
+        names_order.append(name)
+        aliases[name] = {name}
         db = spec.get("db") or case.get("db")
         if db:  # multi-database cases address db.table
             tables[f"{db}.{name}"] = tables[name]
+            aliases[name].add(f"{db}.{name}")
+            aliases[f"{db}.{name}"] = aliases[name]
         if i == 0:
             t0_name = name
         q = q.replace("{%d}" % i, name)
+
+    if case.get("sqls"):
+        return _run_script_case(case, tables, names_order, aliases)
 
     def plan_once(carry_tag: str | None = None):
         # fresh parse per run: the planner rewrites the AST in place.
@@ -300,6 +395,13 @@ def check_case(case: dict) -> None:
         run_case(case)  # success-only expectation: just execute
         return
     got, expect = run_case(case)
+    if "columns" not in expect and "schema" not in expect:
+        # count-only / already-checked (cat) expectations carry no
+        # schema; row count is all that is specified
+        if expect.get("count") is not None:
+            assert len(got) == int(expect["count"]), \
+                (len(got), expect["count"])
+        return
     enames, etypes, rows = _parse_spec(expect)
     order = expect.get("order")
     if order and (order in got.columns

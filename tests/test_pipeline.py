@@ -20,6 +20,57 @@ def test_flagship_token_equality(ray_session, tmp_path):
                                       err_msg=did)
 
 
+def test_fused_asof_equals_broadcast_join(ray_session):
+    """The co-partitioned fused as-of plan (fuse_asof=True) must be
+    bit-equal to the explicit build_dim + broadcast last_join plan —
+    every feature column AND the as-of payload, per doc_id."""
+    from openmldb_ray.pipelines.corpus import build_corpus, run_flagship
+    a = run_flagship(build_corpus(SF), num_buckets=4, dim_modulo=5,
+                     fuse_asof=True).to_pandas()
+    b = run_flagship(build_corpus(SF), num_buckets=4, dim_modulo=5,
+                     fuse_asof=False).to_pandas()
+    assert len(a) == len(b) and len(a) > 0
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in sorted(a.columns):
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            np.testing.assert_allclose(
+                av.astype(float), bv.astype(float), rtol=0, atol=0,
+                err_msg=c)
+        else:
+            np.testing.assert_array_equal(av, bv, err_msg=c)
+
+
+def test_fused_asof_hot_path_equality(ray_session):
+    """Same equality with the hot-entity block-parallel branch ACTIVE
+    (min_rows lowered so src-0000 splits out): the last-dim carry
+    across sorted blocks must reproduce the broadcast join exactly."""
+    from openmldb_ray.joins import last_join
+    from openmldb_ray.pipelines.corpus import (build_corpus, build_dim,
+                                               corpus_features_skewaware)
+    corpus = build_corpus(SF)
+    a = corpus_features_skewaware(corpus, num_buckets=4, min_rows=10,
+                                  materialize=False,
+                                  asof_modulo=5).to_pandas()
+    feats = corpus_features_skewaware(build_corpus(SF), num_buckets=4,
+                                      min_rows=10)
+    dim = build_dim(feats, modulo=5)
+    b = last_join(feats, dim, on="source", order_by="dim_ts",
+                  left_ts="ts", payload=["payload"],
+                  broadcast=True).to_pandas()
+    assert len(a) == len(b) and len(a) > 0
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    for c in sorted(a.columns):
+        np.testing.assert_allclose(
+            a[c].to_numpy().astype(float), b[c].to_numpy().astype(float),
+            rtol=0, atol=0, err_msg=c) if a[c].dtype.kind in "fiu" \
+            else np.testing.assert_array_equal(a[c].to_numpy(),
+                                               b[c].to_numpy(), err_msg=c)
+
+
 def test_position_axis_monotonic(ray_session):
     from openmldb_ray.pipelines.corpus import add_position_axis, build_corpus
     wts = add_position_axis(build_corpus(SF)).to_pandas()

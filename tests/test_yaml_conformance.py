@@ -337,7 +337,9 @@ _MISC_SUITES = [(f"{CLUSTER}/test_cluster_batch.yaml", list(range(5))),
                 (f"{FNROOT}/test_index_optimized.yaml", list(range(5))),
                 (f"{FNROOT}/multiple_databases/"
                  "test_multiple_databases.yaml", list(range(15))),
-                (f"{FNROOT}/ut_case/test_unique_expect.yaml", [0])]
+                (f"{FNROOT}/ut_case/test_unique_expect.yaml", [0]),
+                ("/root/reference/cases/usecase/autox.yaml",
+                 list(range(3)))]
 _MISC_PARAMS = [p for path, ids in _MISC_SUITES
                 for p in _params(path, ids)]
 

@@ -674,6 +674,20 @@ def _q_window_salted_rows(sf_dir):
                              hot_frac=0.001, min_rows=10, parts=4)
 
 
+def _q_window_nested(sf_dir):
+    """Nested aggregate-in-aggregate window expressions (reference
+    test_udaf_function.yaml ids 43/47-49/53): inner aggregates are
+    per-instance scalars over the frame, outer reduces the per-row
+    expression. Runs through the SQL front end."""
+    from openmldb_ray.sql import sql
+    q = ("select event_id, user_id, ts, "
+         "sum(value - count(value)) over w as r, "
+         "count_where(event_id, value >= min(value) + 1) over w as m "
+         "from events window w as (partition by user_id order by ts "
+         "rows between 5 preceding and current row)")
+    return sql(q, sf_dir, dialect="ansi")
+
+
 def _q_window_concat_keys(sf_dir):
     """Two windows over DIFFERENT partition keys in one query — the
     reference's ConcatJoin (nodes/ConcatJoinPlan.scala:32-78), here a
@@ -750,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_open_preceding": _q_window_open_preceding,
         "window_inw": _q_window_inw,
         "window_concat_keys": _q_window_concat_keys,
+        "window_nested": _q_window_nested,
         "fz_window": _q_fz_window,
         "top_cate": _q_top_cate,
         "lag_lead": _q_lag_lead,
@@ -976,6 +991,24 @@ def oracle_sql() -> dict[str, str]:
             wt AS (PARTITION BY event_type ORDER BY ts
                    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
                    AND CURRENT ROW)""",
+        "window_nested": """
+          WITH r AS (
+            SELECT event_id, user_id, ts, value,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn,
+              min(value)  OVER w AS mn,
+              sum(value)  OVER w AS s,
+              count(value) OVER w AS cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+          SELECT a.event_id, a.user_id, a.ts,
+            a.s - a.cnt * a.cnt AS r,
+            (SELECT count(*) FROM r b
+              WHERE b.user_id = a.user_id
+                AND b.rn BETWEEN a.rn - 5 AND a.rn
+                AND b.value >= a.mn + 1) AS m
+          FROM r a""",
         "window_union": """
           SELECT event_id, user_id, ts, s, n FROM (
             SELECT event_id, user_id, ts,

@@ -44,6 +44,27 @@ _WIN_DIRECT = {"sum", "count", "min", "max", "avg", "row_number",
                "fz_top1_ratio", "fz_topn_frequency"}
 
 
+# nested aggregate-in-aggregate window expressions: inner fns that
+# evaluate to a per-INSTANCE scalar over the frame, and the outer
+# reduce forms that accept a nested expression
+_NESTED_INNER = frozenset({"count", "sum", "avg", "min", "max",
+                           "distinct_count", "lag", "at",
+                           "first_value", "sum_where", "count_where",
+                           "avg_where", "min_where", "max_where"})
+_NESTED_OUTER = frozenset({"sum", "count", "avg", "min", "max",
+                           "distinct_count", "sum_where", "count_where",
+                           "avg_where", "min_where", "max_where"})
+
+
+def _contains_inner_agg(e) -> bool:
+    return any(isinstance(f, Func) and f.name in _NESTED_INNER
+               for f in collect(e, Func))
+
+
+def _scalar_refs(e) -> bool:
+    return any(c.name.startswith("__s_") for c in collect(e, Col))
+
+
 class Catalog:
     """name -> Dataset factory with column pruning."""
 
@@ -708,8 +729,17 @@ class Planner:
         _SPLIT_FNS = {"fz_window_split", "fz_window_split_by_key",
                       "fz_window_split_by_value", "fz_split",
                       "fz_split_by_key", "fz_split_by_value"}
-        for nm, fn in calls:
+
+        def plan_one(nm, fn):
             name = fn.name
+            if name in _NESTED_OUTER and fn.args and any(
+                    _contains_inner_agg(a) for a in fn.args):
+                # nested aggregate-in-aggregate window expression
+                # (test_udaf_function.yaml ids 43/47-49/53): inner
+                # aggregates become hidden per-instance scalar aggs,
+                # the outer reduces an expression over frame rows
+                self._plan_nested(nm, fn, aggs, plan_one)
+                return
             if name in ("distinct_count", "count", "top1_ratio",
                         "fz_top1_ratio", "topn_frequency",
                         "fz_topn_frequency", "fz_join") and fn.args \
@@ -728,19 +758,19 @@ class Planner:
                 aggs.append(Agg(base + "__split",
                                 argcol(inner.args[0]), nm,
                                 params=(inner.name,) + iparams + oparams))
-                continue
+                return
             if name == "lead" and self.dialect == "ansi":
                 k = int(const_eval(fn.args[1])) if len(fn.args) > 1 else 1
                 aggs.append(Agg("lead", argcol(fn.args[0]), nm, k=k))
-                continue
+                return
             if name == "lag":
                 k = int(const_eval(fn.args[1])) if len(fn.args) > 1 else 1
                 aggs.append(Agg("lag", argcol(fn.args[0]), nm, k=k))
-                continue
+                return
             if name == "at":
                 k = int(const_eval(fn.args[1]))
                 aggs.append(Agg("at", argcol(fn.args[0]), nm, k=k))
-                continue
+                return
             if name == "last_value":
                 if not fn.ignore_nulls:
                     raise NotImplementedError(
@@ -749,68 +779,215 @@ class Planner:
                         "history frame is the current row")
                 aggs.append(Agg("last_value_ignore_nulls",
                                 argcol(fn.args[0]), nm))
-                continue
+                return
             if name == "first_value":
                 # ANSI first_value = oldest frame row; OpenMLDB
                 # first_value = newest (window_functions_def.cc:154)
                 f = ("last_value_in_frame" if self.dialect == "ansi"
                      else "first_value")
                 aggs.append(Agg(f, argcol(fn.args[0]), nm))
-                continue
+                return
             if name == "count" and fn.args and isinstance(fn.args[0],
                                                           Star):
                 aggs.append(Agg("count", None, nm))
-                continue
+                return
             if name == "count" and fn.distinct:
                 aggs.append(Agg("distinct_count", argcol(fn.args[0]), nm))
-                continue
+                return
             if name in ("distinct_count", "top1_ratio"):
                 aggs.append(Agg(name, argcol(fn.args[0]), nm))
-                continue
+                return
             if name == "count_where" and fn.args \
                     and isinstance(fn.args[0], Star):
                 aggs.append(Agg("count_where", None, nm,
                                 where=argcol(fn.args[1])))
-                continue
+                return
             if name in ("sum_where", "count_where", "avg_where",
                         "min_where", "max_where"):
+                if name == "sum_where" and self.dialect == "openmldb":
+                    # like plain sum: an empty / no-matching frame
+                    # yields 0, not NULL (test_udaf_function.yaml id
+                    # 53 a3 row 0; avg_where stays NULL there)
+                    name = "sum_zero_where"
                 aggs.append(Agg(name, argcol(fn.args[0]), nm,
                                 where=argcol(fn.args[1])))
-                continue
+                return
             if name.endswith("_cate_where"):
                 # f(value, condition, category[, n]) — udfs_8h.md
                 kw = {}
+                params = ()
                 if name.startswith("top_n_key_"):
-                    kw["k"] = int(const_eval(fn.args[3]))
+                    try:
+                        kw["k"] = int(const_eval(fn.args[3]))
+                    except ValueError:
+                        # variable n: evaluated per instance (a column
+                        # ref or an expression with nested aggregates —
+                        # hybridsql_gen composites)
+                        hidden = self._plan_scalar_expr(
+                            fn.args[3], aggs, plan_one)
+                        kw["k"] = 0
+                        params = ("k_scalar", hidden)
                 aggs.append(Agg(name, argcol(fn.args[0]), nm,
                                 where=argcol(fn.args[1]),
-                                cate=argcol(fn.args[2]), **kw))
-                continue
+                                cate=argcol(fn.args[2]),
+                                params=params, **kw))
+                return
             if name in ("top", "topn_frequency", "fz_topn_frequency"):
                 k = int(const_eval(fn.args[1]))
                 aggs.append(Agg(name, argcol(fn.args[0]), nm, k=k))
-                continue
+                return
             if name.endswith("_cate"):
                 aggs.append(Agg(name, argcol(fn.args[0]), nm,
                                 cate=argcol(fn.args[1])))
-                continue
+                return
             if name.startswith("fz_"):
                 params = tuple(const_eval(a) for a in fn.args[1:])
                 aggs.append(Agg(name, argcol(fn.args[0]), nm,
                                 params=params))
-                continue
+                return
             if name == "row_number":
                 aggs.append(Agg("row_number", None, nm))
-                continue
+                return
             if name in ("sum", "count", "min", "max", "avg"):
                 # OpenMLDB window sum over an empty frame is 0, not
                 # NULL (test_maxsize.yaml ids 6-7); ANSI keeps NULL
                 if name == "sum" and self.dialect == "openmldb":
                     name = "sum_zero"
                 aggs.append(Agg(name, argcol(fn.args[0]), nm))
-                continue
+                return
             raise NotImplementedError(f"window function {name}")
+
+        for nm, fn in calls:
+            plan_one(nm, fn)
         return aggs, derived
+
+    def _plan_nested(self, nm, fn, aggs, plan_one):
+        """Plan ``outer(expr-with-inner-aggs) OVER w`` — the
+        reference's nested-UDAF window form (test_udaf_function.yaml
+        ids 43/47-49/53, hybridsql_gen composites).
+
+        Semantics (verified against the expected rows): each INNER
+        aggregate call evaluates to one scalar per instance over the
+        SAME frame (first_value/lag(k) are instance-relative buffer
+        reads), the value/where expression evaluates per FRAME ROW
+        with those scalars broadcast, and the outer aggregate reduces
+        the results. Inner calls become hidden kernel aggs (name
+        prefix ``__h``; the runner drops them from output); inner
+        calls that THEMSELVES reference scalars recurse into this
+        form."""
+        import copy
+        fn = copy.deepcopy(fn)
+
+        def walk(x):
+            return self._rewrite_inner(x, aggs, plan_one)
+
+        val_expr = walk(fn.args[0])
+        owhere = walk(fn.args[1]) if fn.name.endswith("_where") else None
+        exprs = [val_expr] + ([owhere] if owhere is not None else [])
+        need = sorted({c.name for e in exprs for c in collect(e, Col)
+                       if not c.name.startswith("__s_")})
+        scalars = sorted({c.name[4:] for e in exprs
+                          for c in collect(e, Col)
+                          if c.name.startswith("__s_")})
+        outer = fn.name
+        if outer == "sum" and self.dialect == "openmldb":
+            outer = "sum_zero"
+        val_fn = self._compile_nexpr(val_expr, need, scalars)
+        where_fn = (self._compile_nexpr(owhere, need, scalars)
+                    if owhere is not None else None)
+        aggs.append(Agg(outer + "__nexpr", None, nm,
+                        params=(val_fn, where_fn, tuple(need),
+                                tuple(scalars))))
+
+    def _rewrite_inner(self, x, aggs, plan_one):
+        """Replace nested aggregate Func nodes (innermost first) with
+        hidden per-instance scalar refs ``Col(__s_<hidden>)``."""
+        if isinstance(x, Func) and x.name in _NESTED_INNER:
+            x.args = [self._rewrite_inner(a, aggs, plan_one)
+                      for a in x.args]
+            hidden = self._name("h")
+            if any(_scalar_refs(a) for a in x.args):
+                self._plan_nested(hidden, x, aggs, plan_one)
+            else:
+                plan_one(hidden, x)
+            return Col("__s_" + hidden)
+        if hasattr(x, "__dataclass_fields__") \
+                and not isinstance(x, (Col, WindowDef)):
+            for f in x.__dataclass_fields__:
+                v = getattr(x, f)
+                if isinstance(v, list):
+                    setattr(x, f, [
+                        tuple(self._rewrite_inner(t, aggs, plan_one)
+                              for t in it) if isinstance(it, tuple)
+                        else self._rewrite_inner(it, aggs, plan_one)
+                        for it in v])
+                elif isinstance(v, tuple):
+                    setattr(x, f, tuple(
+                        self._rewrite_inner(t, aggs, plan_one)
+                        for t in v))
+                else:
+                    setattr(x, f,
+                            self._rewrite_inner(v, aggs, plan_one))
+        return x
+
+    def _plan_scalar_expr(self, e, aggs, plan_one) -> str:
+        """Per-instance scalar expression containing nested aggregates
+        (variable top-n arguments, hybridsql_gen composites): plans a
+        hidden ``instance__nexpr`` agg and returns its name."""
+        import copy
+        e = self._rewrite_inner(copy.deepcopy(e), aggs, plan_one)
+        need = sorted({c.name for c in collect(e, Col)
+                       if not c.name.startswith("__s_")})
+        scalars = sorted({c.name[4:] for c in collect(e, Col)
+                          if c.name.startswith("__s_")})
+        hidden = self._name("h")
+        aggs.append(Agg("instance__nexpr", None, hidden,
+                        params=(self._compile_nexpr(e, need, scalars),
+                                None, tuple(need), tuple(scalars))))
+        return hidden
+
+    def _compile_nexpr(self, ex, need_cols, scalar_names):
+        """Compile an expression over (frame columns + broadcast
+        instance scalars) into ``fn(frame_arrays, scalars, m) ->
+        np.ndarray`` for the kernel's __nexpr slow path."""
+        from openmldb_ray.io import column_to_float
+
+        def fn(frame, scalars, m):
+            import numpy as _np
+            cols = {}
+            for c in need_cols:
+                arr = frame[c]
+                if arr.dtype == object:
+                    cols[c] = pa.array(arr.tolist())
+                else:
+                    cols[c] = pa.array(arr, from_pandas=True)
+            for s in scalar_names:
+                v = scalars[s]
+                if isinstance(v, _np.generic):
+                    v = v.item()
+                if isinstance(v, float) and v != v:
+                    v = None
+                if v is None:
+                    # type the null broadcast from nothing: strings are
+                    # the only object scalars the inner aggs emit
+                    cols["__s_" + s] = pa.nulls(m, pa.string())
+                else:
+                    cols["__s_" + s] = pa.array([v] * m)
+            t = pa.table(cols) if cols else pa.table(
+                {"__dummy__": pa.nulls(m)})
+            r = eval_expr(ex, t)
+            if isinstance(r, (pa.Array, pa.ChunkedArray)):
+                return column_to_float(r)
+            if hasattr(r, "as_py"):
+                r = r.as_py()
+            if isinstance(r, bool):
+                r = float(r)
+            if r is None or isinstance(r, str):
+                out = _np.full(m, None, dtype=object)
+                out[:] = r
+                return out
+            return _np.full(m, float(r))
+        return fn
 
     # ----------------------------------------------------------- groupby
     def _apply_groupby(self, ds, sel: Select, agg_calls):

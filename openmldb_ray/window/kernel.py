@@ -569,6 +569,9 @@ def eval_aggs(
             hv = hvalues[a.col] if a.col else None
             hcate = hvalues[a.cate]
             hwhere = _wmask(hvalues[a.where]) if a.where else None
+            # variable top-n: n evaluated per instance (nested scalar)
+            dyn_k = (a.params[1] if a.params[:1] == ("k_scalar",)
+                     else None)
             res = np.empty(n, dtype=object)
             for i in range(n):
                 # (cate, value, where) triples: history then self
@@ -585,7 +588,11 @@ def eval_aggs(
                     if v is not None and _isnull(val):
                         continue
                     groups.setdefault(c, []).append(val)
-                keys_sorted = (sorted(groups, reverse=True)[: a.k]
+                kk = a.k
+                if dyn_k is not None:
+                    kv = out[dyn_k][i]
+                    kk = int(kv) if kv == kv else 0
+                keys_sorted = (sorted(groups, reverse=True)[: kk]
                                if top_n_key else sorted(groups))
                 kkind = (col_kinds or {}).get(a.cate)
                 vkind = ("int" if agg_kind == "count"
@@ -720,6 +727,74 @@ def eval_aggs(
                 parts = [_fmt(x, vk) for x in ordered[: a.k]]
                 parts += ["NULL"] * (a.k - len(parts))
                 res[i] = ",".join(parts)
+            out[a.name] = res
+        elif base.endswith("__nexpr"):
+            # nested-aggregate expression (test_udaf_function.yaml ids
+            # 43/53, usecase composites): inner window aggregates are
+            # per-INSTANCE scalars over the same frame (computed above
+            # as hidden aggs, planner orders them first), the value /
+            # where expressions evaluate per FRAME ROW with those
+            # scalars broadcast, and the outer reduce runs over the
+            # result. Per-row recompute matches the reference's own
+            # cost model (JIT recomputes every frame, no incremental
+            # state); at scale prefer algebraic rewrites upstream.
+            outer = base[: -len("__nexpr")]
+            if outer.endswith("_where"):
+                outer = outer[:-6]
+            val_fn, where_fn, need_cols, scalar_names = a.params
+            res = np.full(n, np.nan)
+            if outer == "instance":
+                # expression on the INSTANCE row with nested scalars
+                # (variable top-n args); no frame reduce
+                for i in range(n):
+                    scal = {s: out[s][i] for s in scalar_names}
+                    frame = {c: values[c][i:i + 1] for c in need_cols}
+                    r = val_fn(frame, scal, 1)
+                    res[i] = (np.nan if r[0] is None else float(r[0])) \
+                        if r.dtype == object else float(r[0])
+                out[a.name] = res
+                continue
+            for i in range(n):
+                m = int(hist_end[i] - start[i]) + int(self_in[i])
+                if m == 0:
+                    if outer == "sum_zero":
+                        res[i] = 0.0
+                    elif outer == "count":
+                        res[i] = 0.0
+                    continue
+                frame = {}
+                for c in need_cols:
+                    hv = hvalues[c][start[i]:hist_end[i]]
+                    frame[c] = (np.concatenate([hv, values[c][i:i + 1]])
+                                if self_in[i] else hv)
+                scal = {s: out[s][i] for s in scalar_names}
+                varr = val_fn(frame, scal, m)
+                if varr.dtype == object:
+                    import pandas as pd
+                    ok = ~pd.isna(varr)
+                else:
+                    ok = ~np.isnan(varr)
+                if where_fn is not None:
+                    ok = ok & _wmask(where_fn(frame, scal, m))
+                sel = varr[ok]
+                if outer == "count":
+                    res[i] = float(len(sel))
+                elif len(sel) == 0:
+                    if outer == "sum_zero":
+                        res[i] = 0.0
+                elif outer in ("sum", "sum_zero"):
+                    res[i] = float(np.sum(sel.astype(np.float64)))
+                elif outer == "avg":
+                    res[i] = float(np.mean(sel.astype(np.float64)))
+                elif outer == "min":
+                    res[i] = float(np.min(sel.astype(np.float64)))
+                elif outer == "max":
+                    res[i] = float(np.max(sel.astype(np.float64)))
+                elif outer == "distinct_count":
+                    res[i] = float(len(set(sel.tolist())))
+                else:
+                    raise NotImplementedError(
+                        f"nested outer aggregate {outer}")
             out[a.name] = res
         else:
             raise NotImplementedError(f"window func {f}")

@@ -88,7 +88,7 @@ def _value_out_type(a: Agg, schema: pa.Schema | None) -> pa.DataType | None:
     return None
 
 
-_SUM_FUNCS = {"sum", "sum_zero", "sum_where"}
+_SUM_FUNCS = {"sum", "sum_zero", "sum_where", "sum_zero_where"}
 
 
 def sum_source_type(a: Agg, schema: pa.Schema | None) -> pa.DataType | None:
@@ -212,7 +212,10 @@ class _BucketWindow:
                 run = self.run_transform(run)
             value_cols = sorted({a.col for a in all_aggs if a.col}
                                 | {a.where for a in all_aggs if a.where}
-                                | {a.cate for a in all_aggs if a.cate})
+                                | {a.cate for a in all_aggs if a.cate}
+                                | {c for a in all_aggs
+                                   if a.func.endswith("__nexpr")
+                                   for c in a.params[2]})
             vals = {c: (column_to_exact(run[c]) if c in exact_cols
                         else column_to_float(run[c]))
                     for c in value_cols}
@@ -245,6 +248,8 @@ class _BucketWindow:
             names.append(c)
             cols.append(table[c] if all_prim else table[c].filter(mask))
         for a in all_aggs:
+            if a.name.startswith("__h"):
+                continue  # hidden nested-agg scalar, kernel-internal
             names.append(a.name)
             arr = outs[a.name][is_primary]
             vt = _value_out_type(a, schema)
@@ -282,6 +287,8 @@ class _BucketWindow:
                         else pa.array([], type=pa.int64()))
         for _, aggs in self.specs_aggs:
             for a in aggs:
+                if a.name.startswith("__h"):
+                    continue
                 names.append(a.name)
                 cols.append(pa.array([], type=_agg_type(a, group.schema)))
         return pa.table(cols, names=names)
@@ -355,6 +362,8 @@ def window_agg_multi(
             + [a.col for _, aggs in specs_aggs for a in aggs if a.col]
             + [a.where for _, aggs in specs_aggs for a in aggs if a.where]
             + [a.cate for _, aggs in specs_aggs for a in aggs if a.cate]
+            + [c for _, aggs in specs_aggs for a in aggs
+               if a.func.endswith("__nexpr") for c in a.params[2]]
             + passthrough))
     input_cols = list(input_cols)
     has_union = len(union_ds) > 0

@@ -88,7 +88,8 @@ class WindowSpec:
 AGG_FUNCS = frozenset(
     {
         "sum", "sum_zero", "min", "max", "count", "avg", "distinct_count",
-        "sum_where", "count_where", "avg_where", "min_where", "max_where",
+        "sum_where", "sum_zero_where", "count_where", "avg_where",
+        "min_where", "max_where",
         "lag", "lead", "at", "first_value", "last_value_in_frame",
         "last_value_ignore_nulls", "row_number",
         "top", "topn_frequency", "top1_ratio",
@@ -105,6 +106,10 @@ AGG_FUNCS = frozenset(
         # per-frame split items (params[0] names the split function)
         "count__split", "distinct_count__split", "top1_ratio__split",
         "topn_frequency__split", "fz_join__split",
+        # instance__nexpr: evaluate an expression on the instance row
+        # with nested per-instance aggregate scalars (variable top-n
+        # arguments, hybridsql_gen composites)
+        "instance",
     }
 )
 
@@ -132,7 +137,12 @@ class Agg:
     params: tuple = ()
 
     def __post_init__(self):
-        if self.func not in AGG_FUNCS:
+        # "<outer>__nexpr" = nested-aggregate expression form: outer
+        # reduce over a per-frame-row expression referencing inner
+        # per-instance aggregate scalars (test_udaf_function.yaml 43/53)
+        if self.func not in AGG_FUNCS \
+                and not (self.func.endswith("__nexpr")
+                         and self.func[:-7] in AGG_FUNCS):
             raise ValueError(f"unknown window function: {self.func}")
         if self.func.endswith("_where") and self.where is None:
             raise ValueError(f"{self.func} requires where=")

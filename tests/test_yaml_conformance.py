@@ -42,22 +42,6 @@ SKIP = {
         "reference expectProvider has 6 entries for a 5-value provider "
         "and rows for indexes 2-4 are */+/- results, not mod — "
         "corrupted case data",
-    ("/root/reference/cases/function/function/test_udaf_function.yaml",
-     43): "nested aggregate-in-aggregate window expressions "
-          "(sum(c1 - count(c1))) need per-instance constant folding "
-          "inside frame aggregation — not implemented",
-    ("/root/reference/cases/function/function/test_udaf_function.yaml",
-     47): "correlated count_where condition (first_value of the window "
-          "inside the predicate) — not implemented",
-    ("/root/reference/cases/function/function/test_udaf_function.yaml",
-     48): "correlated count_where condition (lag of the window inside "
-          "the predicate) — not implemented",
-    ("/root/reference/cases/function/function/test_udaf_function.yaml",
-     49): "correlated count_where condition (lag of the window inside "
-          "the predicate) — not implemented",
-    ("/root/reference/cases/function/function/test_udaf_function.yaml",
-     53): "nested aggregate-in-aggregate window expression "
-          "(sum(col1 + count(col1))) — not implemented",
     ("/root/reference/cases/function/join/test_lastjoin_complex.yaml",
      2): "window UNION after a join aligns union-table columns by the "
          "reference's internal projected position (yields c4=33 where "
@@ -339,7 +323,9 @@ _MISC_SUITES = [(f"{CLUSTER}/test_cluster_batch.yaml", list(range(5))),
                  "test_multiple_databases.yaml", list(range(15))),
                 (f"{FNROOT}/ut_case/test_unique_expect.yaml", [0]),
                 ("/root/reference/cases/usecase/autox.yaml",
-                 list(range(3)))]
+                 list(range(3))),
+                ("/root/reference/cases/hybridsql_gen_cases/"
+                 "auto_gen_case_0.yaml", [0])]
 _MISC_PARAMS = [p for path, ids in _MISC_SUITES
                 for p in _params(path, ids)]
 

@@ -249,14 +249,25 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
                               min_rows: int = 100_000,
                               materialize: bool = True,
                               pin_dir: str | None = None,
-                              asof_modulo: int | None = None
+                              asof_modulo: int | None = None,
+                              blockwise: str = "auto"
                               ) -> ray.data.Dataset:
     """Fused corpus features with explicit hot-key handling: sources
     holding > ``hot_frac`` of rows are split out and processed
     block-parallel with replicated boundary history (skew.py); the
     rest go through the single-shuffle fused path. Without this, one
     hot source (FIXTURES F1: ~30% of rows) serializes into one shuffle
-    partition + one task and caps scaling."""
+    partition + one task and caps scaling.
+
+    ``blockwise`` (the zero-shuffle plan, skew.blockwise_corpus_
+    features): ``"auto"`` tries it first — if the source layout holds
+    (each entity's doc_id ranges don't interleave across blocks, the
+    append-only/ingest-ordered common case, VERIFIED at assembly) the
+    whole job runs with NO all-to-all exchange and skew is moot (a hot
+    entity spreads over every block); on verification failure falls
+    back to the shuffle plan below. ``"off"`` forces the shuffle plan
+    (A/B benchmarking); ``"require"`` raises on violation. Env
+    ``GRAFT_BLOCKWISE`` overrides."""
     from concurrent.futures import ThreadPoolExecutor
 
     from openmldb_ray.skew import (hot_entity_corpus_features, key_counts,
@@ -269,6 +280,7 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     # resumable parquet checkpoint — the 100 TB mode, where the slim
     # projection exceeds aggregate object-store memory and a killed run
     # must not redo the tokenize pass (manifest + _SUCCESS semantics).
+    import os
     import time
     t0 = time.time()
     slim = corpus.select_columns(["doc_id", "n_tok", "source"])
@@ -279,6 +291,21 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
         slim = slim.materialize()
     _phase_log("slim pin (read+materialize)", t0)
     t0 = time.time()
+    blockwise = os.environ.get("GRAFT_BLOCKWISE", blockwise)
+    if blockwise != "off":
+        from openmldb_ray.skew import (_NotPresorted,
+                                       blockwise_corpus_features)
+        specs = [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)]
+        try:
+            out = blockwise_corpus_features(slim, specs,
+                                            asof_modulo=asof_modulo)
+            _phase_log("blockwise plan (summaries+assembly)", t0)
+            return out.materialize() if materialize else out
+        except _NotPresorted as e:
+            if blockwise == "require":
+                raise
+            _phase_log(f"blockwise refused ({e}); shuffle fallback", t0)
+            t0 = time.time()
     if num_buckets is None:
         # resolve HERE where the slim size is exactly known (pinned) —
         # downstream lazy branches would fall back to the raw-file
@@ -337,8 +364,6 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     # returned union is a cheap block passthrough for every consumer.
     # On small nodes full overlap oversubscribes the CPUs (each branch
     # is itself a parallel shuffle) — cap concurrent branches by size.
-    import os
-
     from openmldb_ray.context import cluster_cpus
     workers = max(1, min(1 + len(hot), cluster_cpus() // 8))
     if os.environ.get("GRAFT_BRANCH_WORKERS"):

@@ -483,6 +483,151 @@ class _BlockWindow:
         return pa.table(cols)
 
 
+class _MultiSummary:
+    """Pass 1 of the ZERO-SHUFFLE blockwise plan: each block sorts
+    locally by (key, order), then emits one _BlockSummary row PER
+    entity run, tagged with the entity key. Within-block order is
+    free (the local sort owns it); the cross-block layout contract —
+    each entity's per-block key ranges must not interleave in block
+    order — is verified at assembly (_assemble_offsets raises
+    _NotPresorted)."""
+
+    def __init__(self, value_col, order_col, key_col, tail_rows,
+                 tail_range, asof_modulo=None):
+        self.value_col = value_col
+        self.order_col = order_col
+        self.key_col = key_col
+        self.inner = _BlockSummary(value_col, order_col, tail_rows,
+                                   tail_range, asof_modulo)
+        self.__name__ = "blockwise_summaries"
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if b.num_rows == 0:
+            return self.inner._empty().append_column(
+                "__src__", pa.array([], type=pa.string()))
+        b = b.take(pc.sort_indices(
+            b, sort_keys=[(self.key_col, "ascending"),
+                          (self.order_col, "ascending")]))
+        src = b[self.key_col].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(src[1:] != src[:-1]) + 1, [len(src)]))
+        outs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            t = self.inner(b.slice(lo, hi - lo))
+            outs.append(t.append_column(
+                "__src__", pa.array([src[lo]], type=pa.string())))
+        return pa.concat_tables(outs)
+
+
+class _MultiBlockWindow:
+    """Pass 2 of the blockwise plan: same local sort, then each entity
+    run evaluates through _BlockWindow with its driver-assembled
+    (offset, history-tail, dim-carry) entry."""
+
+    def __init__(self, plan_ref, specs_aggs, value_col, order_col,
+                 key_col, asof_modulo=None):
+        # keep the ObjectRef; resolve on the worker (zero-copy plasma
+        # read of the plan's numpy tails) instead of embedding the
+        # whole plan dict in the pickled callable
+        self._plan_ref = plan_ref
+        self._plans = None
+        self.specs_aggs = specs_aggs
+        self.value_col = value_col
+        self.order_col = order_col
+        self.key_col = key_col
+        self.asof_modulo = asof_modulo
+        self.__name__ = "blockwise_window"
+
+    @property
+    def plans(self):
+        if self._plans is None:
+            self._plans = ray.get(self._plan_ref) if isinstance(
+                self._plan_ref, ray.ObjectRef) else self._plan_ref
+        return self._plans
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if b.num_rows == 0:
+            return _BlockWindow({}, self.specs_aggs, self.value_col,
+                                self.order_col, self.key_col, "",
+                                self.asof_modulo)._empty(b)
+        b = b.take(pc.sort_indices(
+            b, sort_keys=[(self.key_col, "ascending"),
+                          (self.order_col, "ascending")]))
+        src = b[self.key_col].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(src[1:] != src[:-1]) + 1, [len(src)]))
+        outs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            k = src[lo]
+            bw = _BlockWindow(self.plans[k], self.specs_aggs,
+                              self.value_col, self.order_col,
+                              self.key_col, k, self.asof_modulo)
+            outs.append(bw(b.slice(lo, hi - lo)))
+        return pa.concat_tables(outs)
+
+
+def blockwise_corpus_features(
+    ds: ray.data.Dataset,
+    specs_aggs: Sequence[tuple[WindowSpec, Sequence[Agg]]],
+    value_col: str = "n_tok",
+    order_col: str = "doc_id",
+    key_col: str = "source",
+    asof_modulo: int | None = None,
+    plan_budget_bytes: int = 1 << 30,
+) -> ray.data.Dataset:
+    """ZERO-SHUFFLE corpus window features over a verified
+    entity-ordered layout — the scale plan for append-only /
+    ingest-ordered corpora (the common case for training-data logs).
+
+    Contract: in block (file) order, each entity's rows appear in
+    ascending ``order_col`` order ACROSS blocks (any order within a
+    block — pass 1/2 sort locally). Two cheap passes replace the
+    all-to-all exchange entirely:
+
+    1. per block, per entity run: a few-KB summary (row count, token
+       total, boundary tail, last dim row);
+    2. driver prefix-scan per entity (_assemble_offsets) -> broadcast
+       plan of (ts offset, replicated history tail, dim carry);
+    3. per block, per run: windowed eval with the prepended tail —
+       bit-equal to the shuffle plan (tested).
+
+    The layout contract is VERIFIED, not trusted: interleaved block
+    ranges raise ``_NotPresorted`` at assembly (callers fall back to
+    the shuffle plan). Skew is a non-issue by construction — a hot
+    entity spreads over every block. Driver plan size is
+    O(entities x blocks x tail rows); ``plan_budget_bytes`` bounds it
+    — a summary set too big to assemble on the driver raises
+    ``_NotPresorted`` so callers fall back to the shuffle plan (a
+    hierarchical assembly would lift this)."""
+    tail_rows = max((s.preceding_rows or 0) for s, _ in specs_aggs) + 1
+    tail_range = max((s.preceding_range or 0) for s, _ in specs_aggs)
+    specs = [(s, list(a)) for s, a in specs_aggs]
+    summaries = ds.map_batches(
+        _MultiSummary(value_col, order_col, key_col, tail_rows,
+                      tail_range, asof_modulo),
+        batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).materialize()
+    if summaries.size_bytes() > plan_budget_bytes:
+        raise _NotPresorted(
+            f"blockwise plan too large for driver assembly "
+            f"({summaries.size_bytes() >> 20} MiB of block summaries "
+            f"> {plan_budget_bytes >> 20} MiB budget)")
+    per_src: dict = {}
+    for r in summaries.take_all():
+        per_src.setdefault(r["__src__"], []).append(r)
+    plans = {k: _assemble_offsets(rows, tail_rows, tail_range)
+             for k, rows in per_src.items()}
+    plan_ref = ray.put(plans)
+    return ds.map_batches(
+        _MultiBlockWindow(plan_ref, specs, value_col, order_col,
+                          key_col, asof_modulo),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def hot_entity_corpus_features(
     sub: ray.data.Dataset,
     key_value: str,

@@ -1,0 +1,102 @@
+"""Zero-shuffle blockwise corpus features (skew.blockwise_corpus_
+features) must equal the shuffle plan bit-for-bit on a layout that
+satisfies the cross-block contract, and must REFUSE (raise
+_NotPresorted) on one that doesn't — exactness never rests on the
+layout hint."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _cmp(a: pd.DataFrame, b: pd.DataFrame):
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert set(a.columns) == set(b.columns)
+    for c in a.columns:
+        if a[c].dtype == object:
+            assert (a[c].fillna("\0") == b[c].fillna("\0")).all(), c
+        else:
+            np.testing.assert_allclose(a[c].astype(float),
+                                       b[c].astype(float), rtol=1e-9,
+                                       err_msg=c)
+
+
+def _slim(n=25_000, num_sources=8, blocks=8):
+    from openmldb_ray.pipelines.synth import synth_corpus
+    return synth_corpus(n, num_sources=num_sources,
+                        override_num_blocks=blocks) \
+        .select_columns(["doc_id", "n_tok", "source"]).materialize()
+
+
+SPECS = None
+
+
+def _specs():
+    from openmldb_ray.pipelines.corpus import (FEATURES, RANGE_FEATURES,
+                                               RANGE_SPEC, ROWS_SPEC)
+    return [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)]
+
+
+def test_blockwise_matches_fused(ray_session):
+    from openmldb_ray.pipelines.corpus import corpus_features_fused
+    from openmldb_ray.skew import blockwise_corpus_features
+    corpus = _slim()
+    base = corpus_features_fused(corpus, 8).to_pandas()
+    got = blockwise_corpus_features(corpus, _specs()).to_pandas()
+    _cmp(base, got)
+
+
+def test_blockwise_matches_fused_with_asof(ray_session):
+    from openmldb_ray.pipelines.corpus import corpus_features_fused
+    from openmldb_ray.skew import blockwise_corpus_features
+    corpus = _slim(n=12_000, num_sources=5, blocks=6)
+    base = corpus_features_fused(corpus, 8, asof_modulo=7).to_pandas()
+    got = blockwise_corpus_features(corpus, _specs(),
+                                    asof_modulo=7).to_pandas()
+    _cmp(base, got)
+
+
+def test_blockwise_single_block_and_tiny_blocks(ray_session):
+    """Boundary tails spanning several predecessor blocks: 32 tiny
+    blocks vs 1 block."""
+    from openmldb_ray.skew import blockwise_corpus_features
+    rng = np.random.default_rng(3)
+    n = 4000
+    rows = [{"doc_id": f"s{i % 3}-{i:08d}",
+             "n_tok": int(rng.integers(16, 512)),
+             "source": f"s{i % 3}"} for i in range(n)]
+    many = ray.data.from_items(rows, override_num_blocks=32)
+    one = ray.data.from_items(rows, override_num_blocks=1)
+    _cmp(blockwise_corpus_features(many, _specs()).to_pandas(),
+         blockwise_corpus_features(one, _specs()).to_pandas())
+
+
+def test_blockwise_rejects_interleaved_layout(ray_session):
+    """A random-shuffled corpus violates the cross-block range
+    contract; assembly must raise, not silently corrupt frames."""
+    from openmldb_ray.skew import _NotPresorted, blockwise_corpus_features
+    rng = np.random.default_rng(11)
+    order = rng.permutation(6000)
+    rows = [{"doc_id": f"s{int(i) % 2}-{int(i):08d}",
+             "n_tok": int(rng.integers(16, 128)),
+             "source": f"s{int(i) % 2}"} for i in order]
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    with pytest.raises(_NotPresorted):
+        blockwise_corpus_features(ds, _specs())
+
+
+def test_skewaware_blockwise_auto(ray_session):
+    """corpus_features_skewaware takes the zero-shuffle path when the
+    layout holds and still equals the fused shuffle plan."""
+    from openmldb_ray.pipelines.corpus import (corpus_features_fused,
+                                               corpus_features_skewaware)
+    corpus = _slim(n=20_000)
+    base = corpus_features_fused(corpus, 8, asof_modulo=7).to_pandas()
+    got = corpus_features_skewaware(corpus, 8, hot_frac=0.05,
+                                    min_rows=2_000,
+                                    asof_modulo=7).to_pandas()
+    _cmp(base, got)

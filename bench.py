@@ -49,9 +49,12 @@ def bench_corpus_flagship() -> tuple[float, int]:
     out = OUT_DIR + "/flagship"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    corpus = ray.data.read_parquet(path, file_extensions=["parquet"],
-                                   columns=["doc_id", "n_tok", "source"],
-                                   override_num_blocks=max(16, NUM_CPUS * 2))
+    # one block per file: the corpus is entity-ordered within each
+    # file; per-file blocks let the zero-shuffle blockwise plan verify
+    # on the first pass (merged blocks need refinement rounds)
+    from openmldb_ray.io import read_parquet_per_file
+    corpus = read_parquet_per_file(path, file_extensions=["parquet"],
+                                   columns=["doc_id", "n_tok", "source"])
     # dim density: ~1 checkpoint row per 64 docs at bench scale (a
     # realistic dimension size; the broadcast index collects it)
     dim_mod = 7 if BENCH_DOCS <= 1_000_000 else 64

@@ -35,6 +35,24 @@ def clean_read_parquet(path: str, columns: list[str] | None = None,
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
+def read_parquet_per_file(path: str, columns: list[str] | None = None,
+                          **kwargs) -> ray.data.Dataset:
+    """read_parquet with ONE BLOCK PER FILE — for layout-sensitive
+    consumers (skew.blockwise_corpus_features): entity-ordered corpora
+    are ordered WITHIN each file, but write tasks number files by
+    completion order, so a size-based read that merges several
+    name-adjacent files produces blocks whose per-entity key ranges
+    have holes — forcing the blockwise planner into refinement rounds
+    (or refusal). Per-file blocks keep fragments = blocks and the
+    zero-shuffle plan verifies on the first pass."""
+    import os
+    if os.path.isdir(path):
+        n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        if n:
+            kwargs.setdefault("override_num_blocks", n)
+    return clean_read_parquet(path, columns=columns, **kwargs)
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kwargs) -> ray.data.Dataset:
     """Read one testdata table, pruning columns at the read (row-group /

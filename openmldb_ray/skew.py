@@ -350,6 +350,106 @@ class _NotPresorted(Exception):
     """Raised when a claimed-presorted layout fails verification."""
 
 
+def _just_after(v):
+    """The smallest order value strictly greater than ``v`` — used to
+    turn a segment's LAST into an exclusive cut point."""
+    if isinstance(v, str):
+        return v + "\0"
+    return v + 1
+
+
+def _summary_rows(t: pa.Table) -> list[dict]:
+    """Columnar summary-table -> row dicts with NUMPY tails (zero
+    per-element conversion; take_all's per-row list materialization of
+    the tail columns measured 4s at 12k summaries)."""
+    tv = t["tail_vals"].combine_chunks()
+    tt = t["tail_ts"].combine_chunks()
+    voff = tv.offsets.to_numpy()
+    vflat = tv.values.to_numpy() if len(tv.values) else \
+        np.empty(0, dtype=np.int64)
+    toff = tt.offsets.to_numpy()
+    tflat = tt.values.to_numpy() if len(tt.values) else \
+        np.empty(0, dtype=np.int64)
+    first = t["first_doc"].to_pylist()
+    last = t["last_doc"].to_pylist()
+    n_rows = t["n_rows"].to_numpy()
+    ntok = t["ntok_total"].to_numpy()
+    dlt = t["dim_last_ts"].to_numpy()
+    dlp = t["dim_last_pay"].to_numpy()
+    src = t["__src__"].to_pylist() if "__src__" in t.column_names \
+        else None
+    rows = []
+    for i in range(t.num_rows):
+        r = {"first_doc": first[i], "last_doc": last[i],
+             "n_rows": int(n_rows[i]), "ntok_total": int(ntok[i]),
+             "tail_vals": vflat[voff[i]:voff[i + 1]],
+             "tail_ts": tflat[toff[i]:toff[i + 1]],
+             "dim_last_ts": int(dlt[i]), "dim_last_pay": int(dlp[i])}
+        if src is not None:
+            r["__src__"] = src[i]
+        rows.append(r)
+    return rows
+
+
+def _collect_table(ds: ray.data.Dataset) -> pa.Table:
+    """Materialized small Dataset -> one Arrow table (zero-copy plasma
+    reads, no row conversion)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
+
+
+@ray.remote
+def _assemble_task(tail_rows, tail_range, min_segment_rows,
+                   plan_budget_bytes, *tables):
+    """Plan assembly as a Ray task: summary bytes flow worker->worker
+    through plasma and the finished plan stays there for pass 2 — the
+    driver reads only the small meta dict. (Measured: this driver's
+    plasma client reads at ~10-20 MB/s while worker clients run at
+    memory speed, so pulling the ~26 MB of boundary tails through the
+    driver cost more than the whole summary map pass.)
+
+    Returns (meta, payload): status "ok" -> payload is the plans dict
+    (ObjectRef handed straight to _MultiBlockWindow), "overlap" ->
+    payload is the refined cuts dict, "refuse" -> payload None."""
+    size = sum(t.nbytes for t in tables if t is not None)
+    if size > plan_budget_bytes:
+        return ({"status": "refuse",
+                 "msg": f"blockwise plan too large for assembly "
+                        f"({size >> 20} MiB of segment summaries > "
+                        f"{plan_budget_bytes >> 20} MiB budget)"},
+                None)
+    rows_all = []
+    for t in tables:
+        if t is not None and t.num_rows:
+            rows_all.extend(_summary_rows(t))
+    total_rows = sum(r["n_rows"] for r in rows_all)
+    meta = {"nseg": len(rows_all), "total_rows": total_rows}
+    if rows_all and total_rows / len(rows_all) < min_segment_rows:
+        meta.update(status="refuse",
+                    msg=f"layout degenerates to {len(rows_all)} "
+                        f"segments over {total_rows} rows (avg < "
+                        f"{min_segment_rows})")
+        return (meta, None)
+    per_src: dict = {}
+    for r in rows_all:
+        per_src.setdefault(r["__src__"], []).append(r)
+    try:
+        plans = {k: _assemble_offsets(rows, tail_rows, tail_range)
+                 for k, rows in per_src.items()}
+    except _NotPresorted as e:
+        cuts = {
+            k: np.array(sorted({r["first_doc"] for r in rows}
+                               | {_just_after(r["last_doc"])
+                                  for r in rows}), dtype=object)
+            for k, rows in per_src.items()}
+        meta.update(status="overlap", msg=str(e))
+        return (meta, cuts)
+    meta.update(status="ok")
+    return (meta, plans)
+
+
 def _assemble_offsets(summary_rows: list[dict], tail_rows: int,
                       tail_range: int) -> dict:
     """Driver prefix scan: per block (keyed by first order value) ->
@@ -483,51 +583,107 @@ class _BlockWindow:
         return pa.table(cols)
 
 
+def _entity_segments(b: pa.Table, key_col: str, order_col: str,
+                     cuts: dict | None = None):
+    """Split a raw block into per-entity MONOTONE SEGMENTS without
+    assuming anything about block-level ordering.
+
+    A block delivered by a parquet read is, in the common case, a
+    concatenation of file fragments, each internally ordered (writers
+    emit entity-ordered data) but concatenated in arbitrary order
+    (task-completion-ordered file names, reads merging non-adjacent
+    files into one block). So: stable-group the rows by entity
+    (preserving original block order within each entity), then split
+    each entity's subsequence at every order-value descent — each
+    resulting segment is strictly ascending by construction and maps
+    1:1 onto an original fragment. Segments, not blocks, are the
+    blockwise plan's unit; cross-segment disjointness is what
+    _assemble_offsets verifies.
+
+    ``cuts`` ({key: sorted order values}): additional mandatory split
+    points — fragments concatenated in ascending-but-non-adjacent
+    order produce NO descent, merging into one segment with range
+    holes that overlap other fragments; the refinement loop in
+    blockwise_corpus_features derives cut values from the overlapping
+    summaries and re-segments (pass 2 receives the same cuts so both
+    passes carve identical segments).
+
+    Returns (regrouped_table, [(lo, hi, key), ...]) with each
+    [lo, hi) slice one segment."""
+    import pyarrow.compute as pc
+    codes = pc.dictionary_encode(b[key_col].combine_chunks())
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    keys = codes.dictionary.to_pylist()
+    code_np = codes.indices.to_numpy(zero_copy_only=False)
+    order_idx = np.argsort(code_np, kind="stable")
+    b2 = b.take(pa.array(order_idx))
+    code_s = code_np[order_idx]
+    ov = b2[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+    rb = np.concatenate(
+        ([0], np.flatnonzero(code_s[1:] != code_s[:-1]) + 1,
+         [len(code_s)]))
+    segs = []
+    for i in range(len(rb) - 1):
+        lo, hi = int(rb[i]), int(rb[i + 1])
+        k = keys[int(code_s[lo])]
+        vals = ov[lo:hi]
+        if hi - lo > 1:
+            desc = np.flatnonzero(vals[1:] <= vals[:-1]) + 1 + lo
+        else:
+            desc = np.empty(0, dtype=np.int64)
+        bounds = np.concatenate(([lo], desc, [hi]))
+        if cuts is not None and k in cuts and len(cuts[k]):
+            # cuts must be located WITHIN each descent segment (the
+            # run as a whole is not sorted across descents)
+            extra = [np.searchsorted(vals[s - lo:e - lo], cuts[k],
+                                     side="left") + s
+                     for s, e in zip(bounds[:-1], bounds[1:])]
+            bounds = np.unique(np.concatenate([bounds] + extra))
+            bounds = bounds[(bounds >= lo) & (bounds <= hi)]
+        for j in range(len(bounds) - 1):
+            segs.append((int(bounds[j]), int(bounds[j + 1]), k))
+    return b2, segs
+
+
 class _MultiSummary:
-    """Pass 1 of the ZERO-SHUFFLE blockwise plan: each block sorts
-    locally by (key, order), then emits one _BlockSummary row PER
-    entity run, tagged with the entity key. Within-block order is
-    free (the local sort owns it); the cross-block layout contract —
-    each entity's per-block key ranges must not interleave in block
-    order — is verified at assembly (_assemble_offsets raises
-    _NotPresorted)."""
+    """Pass 1 of the ZERO-SHUFFLE blockwise plan: each block emits one
+    _BlockSummary row PER entity SEGMENT (see _entity_segments),
+    tagged with the entity key. The cross-segment layout contract —
+    each entity's segment key ranges must not interleave — is
+    verified at assembly (_assemble_offsets raises _NotPresorted)."""
 
     def __init__(self, value_col, order_col, key_col, tail_rows,
-                 tail_range, asof_modulo=None):
+                 tail_range, asof_modulo=None, cuts=None):
         self.value_col = value_col
         self.order_col = order_col
         self.key_col = key_col
+        self.cuts = cuts
         self.inner = _BlockSummary(value_col, order_col, tail_rows,
                                    tail_range, asof_modulo)
         self.__name__ = "blockwise_summaries"
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         if b.num_rows == 0:
             return self.inner._empty().append_column(
                 "__src__", pa.array([], type=pa.string()))
-        b = b.take(pc.sort_indices(
-            b, sort_keys=[(self.key_col, "ascending"),
-                          (self.order_col, "ascending")]))
-        src = b[self.key_col].to_numpy(zero_copy_only=False)
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(src[1:] != src[:-1]) + 1, [len(src)]))
+        b2, segs = _entity_segments(b, self.key_col, self.order_col,
+                                    self.cuts)
         outs = []
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            t = self.inner(b.slice(lo, hi - lo))
+        for lo, hi, k in segs:
+            t = self.inner(b2.slice(lo, hi - lo))
             outs.append(t.append_column(
-                "__src__", pa.array([src[lo]], type=pa.string())))
+                "__src__", pa.array([k], type=pa.string())))
         return pa.concat_tables(outs)
 
 
 class _MultiBlockWindow:
-    """Pass 2 of the blockwise plan: same local sort, then each entity
-    run evaluates through _BlockWindow with its driver-assembled
-    (offset, history-tail, dim-carry) entry."""
+    """Pass 2 of the blockwise plan: the same segmentation, then each
+    entity segment evaluates through _BlockWindow with its
+    driver-assembled (offset, history-tail, dim-carry) entry."""
 
     def __init__(self, plan_ref, specs_aggs, value_col, order_col,
-                 key_col, asof_modulo=None):
+                 key_col, asof_modulo=None, cuts=None):
         # keep the ObjectRef; resolve on the worker (zero-copy plasma
         # read of the plan's numpy tails) instead of embedding the
         # whole plan dict in the pickled callable
@@ -538,6 +694,7 @@ class _MultiBlockWindow:
         self.order_col = order_col
         self.key_col = key_col
         self.asof_modulo = asof_modulo
+        self.cuts = cuts
         self.__name__ = "blockwise_window"
 
     @property
@@ -548,25 +705,18 @@ class _MultiBlockWindow:
         return self._plans
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         if b.num_rows == 0:
             return _BlockWindow({}, self.specs_aggs, self.value_col,
                                 self.order_col, self.key_col, "",
                                 self.asof_modulo)._empty(b)
-        b = b.take(pc.sort_indices(
-            b, sort_keys=[(self.key_col, "ascending"),
-                          (self.order_col, "ascending")]))
-        src = b[self.key_col].to_numpy(zero_copy_only=False)
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(src[1:] != src[:-1]) + 1, [len(src)]))
+        b2, segs = _entity_segments(b, self.key_col, self.order_col,
+                                    self.cuts)
         outs = []
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            k = src[lo]
+        for lo, hi, k in segs:
             bw = _BlockWindow(self.plans[k], self.specs_aggs,
                               self.value_col, self.order_col,
                               self.key_col, k, self.asof_modulo)
-            outs.append(bw(b.slice(lo, hi - lo)))
+            outs.append(bw(b2.slice(lo, hi - lo)))
         return pa.concat_tables(outs)
 
 
@@ -578,24 +728,30 @@ def blockwise_corpus_features(
     key_col: str = "source",
     asof_modulo: int | None = None,
     plan_budget_bytes: int = 1 << 30,
+    max_refine_rounds: int = 4,
+    min_segment_rows: int = 4,
 ) -> ray.data.Dataset:
     """ZERO-SHUFFLE corpus window features over a verified
     entity-ordered layout — the scale plan for append-only /
     ingest-ordered corpora (the common case for training-data logs).
 
-    Contract: in block (file) order, each entity's rows appear in
-    ascending ``order_col`` order ACROSS blocks (any order within a
-    block — pass 1/2 sort locally). Two cheap passes replace the
-    all-to-all exchange entirely:
+    Contract: the dataset is some permutation of internally-ordered
+    FRAGMENTS — within any maximal run that _entity_segments carves
+    out of a block, an entity's rows ascend by ``order_col``, and no
+    two of an entity's fragments overlap in key range. This holds for
+    entity-ordered data regardless of file naming or of reads merging
+    non-adjacent files into one block (both observed in practice:
+    write tasks number files by completion order). Two cheap passes
+    replace the all-to-all exchange entirely:
 
-    1. per block, per entity run: a few-KB summary (row count, token
-       total, boundary tail, last dim row);
+    1. per block, per entity segment: a few-KB summary (row count,
+       token total, boundary tail, last dim row);
     2. driver prefix-scan per entity (_assemble_offsets) -> broadcast
        plan of (ts offset, replicated history tail, dim carry);
-    3. per block, per run: windowed eval with the prepended tail —
-       bit-equal to the shuffle plan (tested).
+    3. per block, per segment: windowed eval with the prepended tail
+       — bit-equal to the shuffle plan (tested).
 
-    The layout contract is VERIFIED, not trusted: interleaved block
+    The layout contract is VERIFIED, not trusted: interleaved segment
     ranges raise ``_NotPresorted`` at assembly (callers fall back to
     the shuffle plan). Skew is a non-issue by construction — a hot
     entity spreads over every block. Driver plan size is
@@ -606,25 +762,54 @@ def blockwise_corpus_features(
     tail_rows = max((s.preceding_rows or 0) for s, _ in specs_aggs) + 1
     tail_range = max((s.preceding_range or 0) for s, _ in specs_aggs)
     specs = [(s, list(a)) for s, a in specs_aggs]
-    summaries = ds.map_batches(
-        _MultiSummary(value_col, order_col, key_col, tail_rows,
-                      tail_range, asof_modulo),
-        batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True).materialize()
-    if summaries.size_bytes() > plan_budget_bytes:
+    # refinement loop: ascending-but-non-adjacent fragment merges leave
+    # no descent, so round-1 segments can span range HOLES that overlap
+    # other fragments; cutting at every segment's first value and
+    # re-summarizing separates them (holes are covered by the other
+    # fragments, so a cut value always lands inside the hole). Truly
+    # interleaved layouts make no progress and raise.
+    import time
+
+    from openmldb_ray.pipelines.corpus import _phase_log
+    cuts: dict | None = None
+    plan_ref = None
+    for _round in range(max_refine_rounds):
+        _t = time.time()
+        summaries = ds.map_batches(
+            _MultiSummary(value_col, order_col, key_col, tail_rows,
+                          tail_range, asof_modulo, cuts=cuts),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True).materialize()
+        meta_ref, payload_ref = _assemble_task.options(
+            num_returns=2).remote(
+            tail_rows, tail_range, min_segment_rows,
+            plan_budget_bytes, *summaries.to_arrow_refs())
+        meta = ray.get(meta_ref)
+        _phase_log(f"blockwise summaries+assembly r{_round} "
+                   f"({meta.get('nseg')} segs, {meta['status']})", _t)
+        if meta["status"] == "ok":
+            plan_ref = payload_ref
+            break
+        if meta["status"] == "refuse":
+            raise _NotPresorted(meta["msg"])
+        # "overlap": every segment boundary becomes a cut — firsts
+        # inclusive, lasts exclusive; a merged segment overlapping
+        # another always has a boundary of the other inside one of
+        # its range holes, so each round strictly separates
+        new_cuts = ray.get(payload_ref)
+        if cuts is not None and all(
+                k in cuts and len(cuts[k]) == len(v)
+                and (cuts[k] == v).all()
+                for k, v in new_cuts.items()):
+            raise _NotPresorted(meta["msg"])  # no progress
+        cuts = new_cuts
+    if plan_ref is None:
         raise _NotPresorted(
-            f"blockwise plan too large for driver assembly "
-            f"({summaries.size_bytes() >> 20} MiB of block summaries "
-            f"> {plan_budget_bytes >> 20} MiB budget)")
-    per_src: dict = {}
-    for r in summaries.take_all():
-        per_src.setdefault(r["__src__"], []).append(r)
-    plans = {k: _assemble_offsets(rows, tail_rows, tail_range)
-             for k, rows in per_src.items()}
-    plan_ref = ray.put(plans)
+            f"segment ranges still interleave after "
+            f"{max_refine_rounds} refinement rounds")
     return ds.map_batches(
         _MultiBlockWindow(plan_ref, specs, value_col, order_col,
-                          key_col, asof_modulo),
+                          key_col, asof_modulo, cuts=cuts),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
@@ -670,8 +855,10 @@ def hot_entity_corpus_features(
                           asof_modulo, verify_sorted=verify),
             batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True)
-        plan = _assemble_offsets(summaries.take_all(), tail_rows,
-                                 tail_range)
+        stbl = _collect_table(summaries)
+        plan = _assemble_offsets(
+            _summary_rows(stbl) if stbl is not None else [],
+            tail_rows, tail_range)
         plan_ref = ray.put(plan)
 
         def block_window(b: pa.Table) -> pa.Table:

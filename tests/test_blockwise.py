@@ -75,6 +75,31 @@ def test_blockwise_single_block_and_tiny_blocks(ray_session):
          blockwise_corpus_features(one, _specs()).to_pandas())
 
 
+def test_blockwise_out_of_order_fragments(ray_session):
+    """The condition hit in practice: files are internally ordered but
+    written in task-completion order, and the read merges non-adjacent
+    files into one block. Segment splitting must recover the fragments
+    and still match the shuffle plan."""
+    from openmldb_ray.pipelines.corpus import corpus_features_fused
+    from openmldb_ray.skew import blockwise_corpus_features
+    rng = np.random.default_rng(9)
+    n, nfrag = 8000, 16
+    rows = [{"doc_id": f"s{i % 3}-{i:08d}",
+             "n_tok": int(rng.integers(16, 256)),
+             "source": f"s{i % 3}"} for i in range(n)]
+    frags = [rows[i * (n // nfrag):(i + 1) * (n // nfrag)]
+             for i in range(nfrag)]
+    perm = rng.permutation(nfrag)
+    shuffled = [r for j in perm for r in frags[j]]
+    # 4 blocks, each concatenating 4 non-adjacent fragments
+    ds = ray.data.from_items(shuffled, override_num_blocks=4) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=None).materialize()
+    base = corpus_features_fused(ds, 8).to_pandas()
+    got = blockwise_corpus_features(ds, _specs()).to_pandas()
+    _cmp(base, got)
+
+
 def test_blockwise_rejects_interleaved_layout(ray_session):
     """A random-shuffled corpus violates the cross-block range
     contract; assembly must raise, not silently corrupt frames."""

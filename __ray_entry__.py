@@ -746,6 +746,35 @@ def _q_window_maxsize(sf_dir):
                       passthrough=["event_id", "user_id", "ts"])
 
 
+_UNION_ALL_SQL = """
+  SELECT o_custkey AS k, o_totalprice AS v FROM orders
+  WHERE o_totalprice > 100000
+  UNION ALL
+  SELECT c_custkey AS k, c_acctbal AS v FROM customer
+  WHERE c_acctbal < 0"""
+
+_UNION_DISTINCT_SQL = """
+  SELECT n_regionkey AS rk FROM nation
+  UNION
+  SELECT r_regionkey AS rk FROM region
+  UNION ALL
+  SELECT n_regionkey AS rk FROM nation WHERE n_nationkey < 3"""
+
+
+def _q_union_all(sf_dir):
+    """UNION ALL set operation through the SQL front end (reference
+    parser surface cases/plan/union_query.yaml; positional alignment,
+    left branch names)."""
+    from openmldb_ray.sql import sql
+    return sql(_UNION_ALL_SQL, sf_dir, dialect="ansi")
+
+
+def _q_union_distinct(sf_dir):
+    """Mixed UNION DISTINCT / UNION ALL left-associative chain."""
+    from openmldb_ray.sql import sql
+    return sql(_UNION_DISTINCT_SQL, sf_dir, dialect="ansi")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_rows": _q_window_rows,
@@ -779,6 +808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": _q_sort_limit,
         "distinct": _q_distinct,
         "left_join": _q_left_join,
+        "union_all": _q_union_all,
+        "union_distinct": _q_union_distinct,
         "scalar_string_math": _q_scalar_string_math,
         "scalar_datetime": _q_scalar_datetime,
         "scalar_more": _q_scalar_more,
@@ -1084,6 +1115,8 @@ def oracle_sql() -> dict[str, str]:
         "left_join": """
           SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
           FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+        "union_all": _UNION_ALL_SQL,
+        "union_distinct": _UNION_DISTINCT_SQL,
         "scalar_string_math": """
           SELECT p_partkey,
                  upper(p_name) AS name_up,

@@ -402,7 +402,7 @@ def _collect_table(ds: ray.data.Dataset) -> pa.Table:
 
 @ray.remote
 def _assemble_task(tail_rows, tail_range, min_segment_rows,
-                   plan_budget_bytes, *tables):
+                   plan_budget_bytes, table_refs):
     """Plan assembly as a Ray task: summary bytes flow worker->worker
     through plasma and the finished plan stays there for pass 2 — the
     driver reads only the small meta dict. (Measured: this driver's
@@ -413,6 +413,12 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
     Returns (meta, payload): status "ok" -> payload is the plans dict
     (ObjectRef handed straight to _MultiBlockWindow), "overlap" ->
     payload is the refined cuts dict, "refuse" -> payload None."""
+    import time as _time
+    _t0 = _time.monotonic()
+    # refs arrive unresolved (passed inside a list on purpose): a
+    # task-arg unpack made the raylet resolve 200 tiny objects one by
+    # one (~2s of scheduling); one worker-side batched get is ~50ms
+    tables = ray.get(table_refs)
     size = sum(t.nbytes for t in tables if t is not None)
     if size > plan_budget_bytes:
         return ({"status": "refuse",
@@ -446,7 +452,7 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
             for k, rows in per_src.items()}
         meta.update(status="overlap", msg=str(e))
         return (meta, cuts)
-    meta.update(status="ok")
+    meta.update(status="ok", task_s=round(_time.monotonic() - _t0, 3))
     return (meta, plans)
 
 
@@ -780,13 +786,16 @@ def blockwise_corpus_features(
                           tail_range, asof_modulo, cuts=cuts),
             batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True).materialize()
+        _phase_log(f"blockwise summary map r{_round}", _t)
+        _t2 = time.time()
         meta_ref, payload_ref = _assemble_task.options(
             num_returns=2).remote(
             tail_rows, tail_range, min_segment_rows,
-            plan_budget_bytes, *summaries.to_arrow_refs())
+            plan_budget_bytes, list(summaries.to_arrow_refs()))
         meta = ray.get(meta_ref)
-        _phase_log(f"blockwise summaries+assembly r{_round} "
-                   f"({meta.get('nseg')} segs, {meta['status']})", _t)
+        _phase_log(f"blockwise assembly r{_round} "
+                   f"({meta.get('nseg')} segs, {meta['status']}, "
+                   f"task {meta.get('task_s')}s)", _t2)
         if meta["status"] == "ok":
             plan_ref = payload_ref
             break

@@ -171,3 +171,4 @@ class Select:
     order_by: list = field(default_factory=list)  # [(expr, desc)]
     limit: int | None = None
     ctes: dict = field(default_factory=dict)      # name -> Select
+    set_ops: list = field(default_factory=list)   # [("all"|"distinct", Select)]

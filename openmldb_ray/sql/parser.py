@@ -91,11 +91,11 @@ class Parser:
                 name = self.ident()
                 self.expect_kw("AS")
                 self.expect_op("(")
-                ctes[name] = self.select()
+                ctes[name] = self.query_expr()
                 self.expect_op(")")
                 if not self.eat_op(","):
                     break
-        sel = self.select()
+        sel = self.query_expr()
         sel.ctes = ctes
         self.eat_op(";")
         if self.peek().kind != "END":
@@ -105,6 +105,22 @@ class Parser:
         return sel
 
     # ------------------------------------------------------------ select
+    def query_expr(self) -> Select:
+        """SELECT [UNION [ALL|DISTINCT] SELECT]* — left-associative set
+        chain (cases/plan/union_query.yaml; bare UNION = DISTINCT per
+        the standard)."""
+        sel = self.select()
+        while self.at_kw("UNION") and self.peek(1).kind == "KW" and \
+                self.peek(1).val in ("ALL", "DISTINCT", "SELECT"):
+            self.next()
+            op = "distinct"
+            if self.eat_kw("ALL"):
+                op = "all"
+            else:
+                self.eat_kw("DISTINCT")
+            sel.set_ops.append((op, self.select()))
+        return sel
+
     def select(self) -> Select:
         self.expect_kw("SELECT")
         distinct = self.eat_kw("DISTINCT")
@@ -175,7 +191,7 @@ class Parser:
 
     def table_ref(self) -> TableRef:
         if self.eat_op("("):
-            sub = self.select()
+            sub = self.query_expr()
             self.expect_op(")")
             alias = None
             if self.eat_kw("AS"):

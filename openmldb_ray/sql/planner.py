@@ -121,6 +121,47 @@ class Planner:
         self._gen += 1
         return f"__{prefix}{self._gen}__"
 
+    def _apply_set_ops(self, left: ray.data.Dataset,
+                       ops: list) -> ray.data.Dataset:
+        """UNION ALL / UNION DISTINCT over planned branches: positional
+        alignment, left branch's names and types win (ANSI). DISTINCT
+        dedupes everything accumulated so far (left-assoc fold)."""
+        from openmldb_ray.functions.aggregates import distinct
+        try:
+            lnames = list(left.columns())
+            ltypes = [f.type for f in left.schema().base_schema]
+        except AttributeError:
+            lnames = list(left.columns())
+            ltypes = [None] * len(lnames)
+
+        def align(b: pa.Table) -> pa.Table:
+            cols = {}
+            for i, (nm, ty) in enumerate(zip(lnames, ltypes)):
+                c = b.column(i)
+                if ty is not None and c.type != ty:
+                    c = c.cast(ty)
+                cols[nm] = c
+            return pa.table(cols)
+        align.__name__ = "union_align"
+
+        # run the left branch through the same align map so every
+        # union input emits byte-identical (metadata-free) schemas —
+        # otherwise the union operator logs schema-mismatch warnings
+        acc = left.map_batches(align, batch_format="pyarrow")
+        for op, rhs_sel in ops:
+            rhs = Planner(self.catalog, self.dialect).plan(rhs_sel)
+            rnames = list(rhs.columns())
+            if len(rnames) != len(lnames):
+                raise ValueError(
+                    f"UNION branches have different column counts "
+                    f"({len(lnames)} vs {len(rnames)})")
+            if rnames != lnames or any(t is not None for t in ltypes):
+                rhs = rhs.map_batches(align, batch_format="pyarrow")
+            acc = acc.union(rhs)
+            if op == "distinct":
+                acc = distinct(acc, lnames)
+        return acc
+
     # ----------------------------------------------------------- entry
     def plan(self, sel: Select,
              carry_window_order: bool = False) -> ray.data.Dataset:
@@ -177,6 +218,14 @@ class Planner:
                     Catalog(self.catalog.sf_dir, scoped),
                     self.dialect).plan(sub)
             self.catalog = Catalog(self.catalog.sf_dir, scoped)
+        if sel.set_ops:
+            # UNION [ALL|DISTINCT] chain, left-associative
+            # (cases/plan/union_query.yaml): branches align by
+            # position, keep the left branch's names/types
+            ops, sel.set_ops = sel.set_ops, []
+            ctes, sel.ctes = sel.ctes, {}  # already installed above
+            left = self.plan(sel, carry_window_order)
+            return self._apply_set_ops(left, ops)
         # output names resolve from the ORIGINAL items (alias / bare
         # column name / source text) before any qualifier rewriting
         out_names = [self._out_name(it) for it in sel.items]

@@ -43,15 +43,23 @@ def checkpoint(ds: ray.data.Dataset, stage_dir: str,
         shutil.rmtree(tmp)
     t0 = time.time()
     ds.write_parquet(tmp)
+    from openmldb_ray.pipelines.corpus import _phase_log
+    _phase_log("checkpoint write_parquet", t0)
+    t1 = time.time()
     files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    manifest = []
     import pyarrow.parquet as pq
-    for f in files:
+
+    def _meta(f):
         p = os.path.join(tmp, f)
         md = pq.read_metadata(p)
-        manifest.append({"file": f, "rows": md.num_rows,
-                         "bytes": os.path.getsize(p),
-                         "row_groups": md.num_row_groups})
+        return {"file": f, "rows": md.num_rows,
+                "bytes": os.path.getsize(p),
+                "row_groups": md.num_row_groups}
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        manifest = list(ex.map(_meta, files))
+    _phase_log(f"checkpoint manifest ({len(files)} files)", t1)
     wall = time.time() - t0
     with open(os.path.join(tmp, "manifest.jsonl"), "w") as fh:
         for m in manifest:

@@ -38,19 +38,150 @@ _OUTFILE_RE = re.compile(
     r"\binto\s+outfile\s+'(?P<path>[^']*)'\s*"
     r"(?P<opts>options\s*\(.*\))?\s*;?\s*$",
     re.I | re.S)
+_ID0 = r"(?:`[^`]+`|[A-Za-z_]\w*)"
+_QID0 = rf"{_ID0}(?:\.{_ID0})?"
 _LOAD_RE = re.compile(
-    r"^\s*load\s+data\s+infile\s+'(?P<path>[^']*)'\s+"
-    r"into\s+table\s+(?P<table>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*"
+    rf"^\s*load\s+data\s+infile\s+'(?P<path>[^']*)'\s+"
+    rf"into\s+table\s+(?P<table>{_QID0})\s*"
     r"(?P<opts>options\s*\(.*\))?\s*;?\s*$",
     re.I | re.S)
 
 _DROP_RE = re.compile(
-    r"^\s*drop\s+table\s+(?P<table>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    rf"^\s*drop\s+table\s+(?:if\s+exists\s+)?(?P<table>{_QID0})"
     r"\s*;?\s*$", re.I)
 _CREATE_RE = re.compile(
-    r"^\s*create\s+table\s+(?P<table>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    rf"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
+    rf"(?P<table>{_QID0})"
     r"\s*\((?P<cols>.*?)\)\s*(?:options\s*\([^()]*\))?\s*;?\s*$",
     re.I | re.S)
+
+# session / catalog statements (the reference's CLI surface,
+# cases/plan/cmd.yaml + insert.yaml): back-quoted identifiers allowed
+_ID = _ID0
+_QID = _QID0
+_CREATE_DB_RE = re.compile(
+    rf"^\s*create\s+database\s+(?:if\s+not\s+exists\s+)?"
+    rf"(?P<db>{_ID})\s*;?\s*$", re.I)
+_DROP_DB_RE = re.compile(
+    rf"^\s*drop\s+database\s+(?:if\s+exists\s+)?(?P<db>{_ID})\s*;?\s*$",
+    re.I)
+_USE_RE = re.compile(rf"^\s*use\s+(?P<db>{_ID})\s*;?\s*$", re.I)
+_SHOW_RE = re.compile(
+    r"^\s*show\s+(?P<what>tables|databases)\s*;?\s*$", re.I)
+_DESC_RE = re.compile(rf"^\s*desc(?:ribe)?\s+(?P<table>{_QID})\s*;?\s*$",
+                      re.I)
+_SET_RE = re.compile(
+    r"^\s*set\s+(?:(?:global|session)\s+|@@(?:global\.|session\.)?)?"
+    r"(?P<var>[A-Za-z_]\w*)\s*=\s*(?P<val>[^;]+);?\s*$", re.I)
+_INDEX_RE = re.compile(
+    rf"^\s*(?:create\s+index\s+{_ID}\s+on\s+{_QID}\s*\(.*\)"
+    rf"|drop\s+index\s+{_QID}(?:\.{_ID})?)\s*;?\s*$", re.I | re.S)
+_INSERT_RE = re.compile(
+    rf"^\s*insert\s+into\s+(?P<table>{_QID})\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?values\s*(?P<vals>\(.*\))\s*;?\s*$",
+    re.I | re.S)
+
+
+_PARAM = object()  # unbound `?` placeholder in a prepared INSERT
+
+# CREATE TABLE without a column list parses in the reference (schema
+# arrives later / LIKE); recognized here, rejected at execution
+_CREATE_BARE_RE = re.compile(
+    rf"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<table>{_QID})"
+    r"\s*;?\s*$", re.I)
+
+
+def _unquote_id(s: str) -> str:
+    return s[1:-1] if s.startswith("`") and s.endswith("`") else s
+
+
+def _split_tuples(src: str) -> list[list[str]]:
+    """VALUES (...),(...) -> element strings per tuple (quote- and
+    paren-aware scan)."""
+    tuples, cur, depth, q = [], [], 0, None
+    buf = []
+    for ch in src:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                cur, buf = [], []
+                continue
+        if ch == ")":
+            depth -= 1
+            if depth == 0:
+                cur.append("".join(buf).strip())
+                tuples.append(cur)
+                buf = []
+                continue
+        if ch == "," and depth == 1:
+            cur.append("".join(buf).strip())
+            buf = []
+            continue
+        if depth >= 1:
+            buf.append(ch)
+    if depth != 0:
+        raise ValueError("unbalanced parentheses in VALUES")
+    return tuples
+
+
+def _parse_literal(tok: str):
+    """One INSERT literal -> (value, arrow type|None). Reference typed
+    literals (cases/plan/insert.yaml): bare int -> int32, ``L`` suffix
+    -> int64, ``f`` suffix -> float, decimal -> double, quoted ->
+    string, true/false, NULL."""
+    t = tok.strip()
+    u = t.upper()
+    if u == "NULL":
+        return None, None
+    if u == "TRUE":
+        return True, pa.bool_()
+    if u == "FALSE":
+        return False, pa.bool_()
+    if t == "?":
+        return _PARAM, None  # prepared placeholder; bound at execute
+    if len(t) >= 2 and t[0] in "'\"" and t[-1] == t[0]:
+        return t[1:-1], pa.string()
+    if re.fullmatch(r"[+-]?\d+[lL]", t):
+        return int(t[:-1]), pa.int64()
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t), pa.int32()
+    if re.fullmatch(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?[fF]", t):
+        return float(t[:-1]), pa.float32()
+    if re.fullmatch(r"[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?", t):
+        return float(t), pa.float64()
+    raise ValueError(f"bad INSERT literal {tok!r}")
+
+
+def parse_insert(stmt: str):
+    """INSERT INTO t [(cols)] VALUES (...)[, (...)] -> (table,
+    cols|None, rows of (value, type))."""
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        return None
+    cols = None
+    if m.group("cols") is not None:
+        cols = [_unquote_id(c.strip()) for c in
+                m.group("cols").split(",") if c.strip()]
+    rows = [[_parse_literal(e) for e in tup]
+            for tup in _split_tuples(m.group("vals"))]
+    if not rows:
+        raise ValueError("INSERT requires at least one VALUES tuple")
+    widths = {len(r) for r in rows}
+    if len(widths) != 1:
+        raise ValueError("VALUES tuples have differing arity")
+    if cols is not None and len(cols) != len(rows[0]):
+        raise ValueError("column list and VALUES arity differ")
+    return _unquote_id(m.group("table")), cols, rows
+
 
 _DDL_TYPES = {
     "smallint": pa.int16(), "int16": pa.int16(),
@@ -234,6 +365,9 @@ class SqlSession:
         self.tables = tables
         self.workdir = workdir
         self.aliases = aliases or {}
+        self.databases: set[str] = set()
+        self.current_db: str | None = None
+        self.variables: dict[str, str] = {}
         if run_select is None:
             from openmldb_ray.sql.planner import Catalog, Planner
             from openmldb_ray.sql.parser import parse
@@ -259,12 +393,13 @@ class SqlSession:
         None for INTO OUTFILE / LOAD DATA."""
         m = _LOAD_RE.match(stmt)
         if m:
-            self._load_data(m.group("path"), m.group("table"),
+            self._load_data(m.group("path"),
+                            _unquote_id(m.group("table")),
                             parse_options(m.group("opts"), _LOAD_KEYS))
             return None
         m = _DROP_RE.match(stmt)
         if m:
-            name = m.group("table")
+            name = _unquote_id(m.group("table"))
             if name not in self.tables:
                 raise ValueError(f"table {name!r} does not exist")
             for alias in self.aliases.pop(name, {name}):
@@ -281,13 +416,106 @@ class SqlSession:
             select_part = stmt[:m.start()]
             self._select_into(select_part, m.group("path"), opts)
             return None
+        m = _CREATE_DB_RE.match(stmt)
+        if m:
+            self.databases.add(_unquote_id(m.group("db")))
+            return None
+        m = _DROP_DB_RE.match(stmt)
+        if m:
+            self.databases.discard(_unquote_id(m.group("db")))
+            return None
+        m = _USE_RE.match(stmt)
+        if m:
+            db = _unquote_id(m.group("db"))
+            known = self.databases | {k.split(".", 1)[0]
+                                      for k in self.tables if "." in k}
+            if known and db not in known:
+                raise ValueError(f"database {db!r} does not exist")
+            self.current_db = db
+            return None
+        m = _SHOW_RE.match(stmt)
+        if m:
+            if m.group("what").lower() == "databases":
+                names = sorted(self.databases)
+                return ray.data.from_arrow(pa.table(
+                    {"Databases": pa.array(names, type=pa.string())}))
+            names = sorted(k for k in self.tables if "." not in k)
+            return ray.data.from_arrow(pa.table(
+                {"Tables": pa.array(names, type=pa.string())}))
+        m = _DESC_RE.match(stmt)
+        if m:
+            name = _unquote_id(m.group("table"))
+            if name not in self.tables:
+                raise ValueError(f"table {name!r} does not exist")
+            sch = self.tables[name].schema()
+            base = getattr(sch, "base_schema", None)
+            fields = list(base) if base is not None else [
+                pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+            return ray.data.from_arrow(pa.table({
+                "Field": pa.array([f.name for f in fields]),
+                "Type": pa.array([str(f.type) for f in fields]),
+                "Null": pa.array(["YES" if f.nullable else "NO"
+                                  for f in fields]),
+            }))
+        m = _SET_RE.match(stmt)
+        if m:
+            self.variables[m.group("var").lower()] = \
+                m.group("val").strip()
+            return None
+        if _INDEX_RE.match(stmt):
+            # index DDL = storage hints; no batch-engine semantics
+            # (reference ColumnKey, common.proto:58-64)
+            return None
+        ins = parse_insert(stmt)
+        if ins is not None:
+            self._insert(*ins)
+            return None
+        if _CREATE_BARE_RE.match(stmt):
+            raise ValueError(
+                "CREATE TABLE without a column list is recognized but "
+                "not materializable (no schema source)")
         return self.run_select(stmt)
+
+    def _insert(self, name: str, cols: list | None, rows: list) -> None:
+        """Offline INSERT ... VALUES: append literal rows to a catalog
+        table (the online tablet path, src/tablet/tablet_impl.cc, is
+        out of scope — this is the session/catalog analog)."""
+        if any(v[0] is _PARAM for r in rows for v in r):
+            raise ValueError("prepared INSERT parameters are not bound")
+        if name not in self.tables:
+            raise ValueError(f"table {name!r} does not exist")
+        ds = self.tables[name]
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        schema = base if base is not None else pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)])
+        names = [f.name for f in schema]
+        if cols is None:
+            cols = names
+        bad = [c for c in cols if c not in names]
+        if bad:
+            raise ValueError(f"unknown INSERT columns {bad}")
+        arrays = {}
+        for f in schema:
+            if f.name in cols:
+                i = cols.index(f.name)
+                vals = [r[i][0] for r in rows]
+                # int-ms literals into timestamp/date columns cast
+                # through the epoch, matching LOAD DATA semantics
+                src = pa.array(vals)
+                arrays[f.name] = src.cast(f.type) if src.type != f.type \
+                    else src
+            else:
+                arrays[f.name] = pa.nulls(len(rows), f.type)
+        lit = pa.table({n: arrays[n] for n in names})
+        self._set_table(name, ds.union(ray.data.from_arrow(lit)))
 
     def _create_table(self, name: str, cols_src: str) -> None:
         """CREATE TABLE t(col type, ..., index(...)): column defs only;
         index specs are storage hints with no batch-engine semantics
         and are skipped (the reference's ColumnKey, common.proto:58-64).
         """
+        name = _unquote_id(name)
         if name in self.tables:
             raise ValueError(f"table {name!r} already exists")
         fields = []
@@ -311,7 +539,7 @@ class SqlSession:
             toks = part.split()
             if len(toks) < 2:
                 raise ValueError(f"bad column def {part!r}")
-            cname, ctype = toks[0], toks[1].lower()
+            cname, ctype = _unquote_id(toks[0]), toks[1].lower()
             if ctype not in _DDL_TYPES:
                 raise ValueError(f"unknown column type {ctype!r}")
             fields.append(pa.field(cname, _DDL_TYPES[ctype]))
@@ -319,6 +547,13 @@ class SqlSession:
             raise ValueError("table needs at least one column")
         empty = pa.table({f.name: pa.array([], type=f.type)
                           for f in fields})
+        if self.current_db and "." not in name:
+            # a table created under USE db is addressable both ways
+            ds = ray.data.from_arrow(empty)
+            qual = f"{self.current_db}.{name}"
+            self.aliases[name] = self.aliases[qual] = {name, qual}
+            self.tables[name] = self.tables[qual] = ds
+            return
         self.aliases[name] = {name}
         self.tables[name] = ray.data.from_arrow(empty)
 

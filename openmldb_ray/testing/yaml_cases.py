@@ -292,7 +292,17 @@ def run_case(case: dict, num_buckets: int = 2):
                         if k not in ("resource",)})
             spec = res
         name = spec.get("name", f"t{i}")
-        tables[name] = ray.data.from_arrow(_build_table(spec))
+        if "create" in spec:
+            # DDL/DML input form (cases/function/dml): the table is
+            # declared and populated through session statements
+            from openmldb_ray.sql.script import SqlSession
+            sess = SqlSession(tables, aliases=aliases)
+            sess.execute(spec["create"].replace("{%d}" % i, name))
+            ins = spec.get("insert") or spec.get("inserts") or []
+            for stmt in ([ins] if isinstance(ins, str) else ins):
+                sess.execute(stmt.replace("{%d}" % i, name))
+        else:
+            tables[name] = ray.data.from_arrow(_build_table(spec))
         names_order.append(name)
         aliases[name] = {name}
         db = spec.get("db") or case.get("db")

@@ -1,0 +1,169 @@
+"""Reference parser/plan suites (cases/plan/*.yaml) — acceptance
+parity for the SQL front end and the session statement surface.
+
+Each case's SQL must be ACCEPTED by the matching layer (queries by
+``sql.parser.parse``, statements by ``SqlSession``'s statement
+recognizers). The reference drives these through its planner the same
+way (hybridse plan tests); result semantics for the query shapes are
+covered by the YAML conformance and query-suite tests.
+
+Skipped classes, each with the reason at the skip site:
+- ``%%fun`` embedded-script UDFs (a scripting DSL, out of scope);
+- ``tags: TODO / zetasql-unsupport`` (the reference's own parser
+  rejects them — e.g. ``&&``/``||`` logical forms);
+- online-serving-only statements (DEPLOY, PROCEDURE, JOB control) and
+  EXPLAIN (no plan-dump surface here);
+- scalar subqueries and RIGHT JOIN (documented unsupported);
+- CONFIG ( ... ) statement suffix (cluster-execution hints).
+"""
+
+import re
+
+import pytest
+import yaml
+
+P = "/root/reference/cases/plan"
+
+# (suite, id) -> skip reason; ids are str(id) or "id-k" for multi-sql
+SKIP = {
+    ("simple_query", "24-1"): "&&: tags zetasql-unsupport (TODO)",
+    ("simple_query", "select with config"): "CONFIG() suffix: "
+        "cluster-execution hint, not part of the query surface",
+    ("simple_query", "union_with_config"): "CONFIG() suffix",
+    ("sub_query", "2"): "scalar subquery: documented unsupported",
+    ("sub_query", "3"): "RIGHT JOIN: reference batch planner has "
+        "LEFT/LAST/CONCAT only (SparkPlanner.scala:235-274)",
+    ("window_query", "3-2"): "%%fun embedded-script UDF",
+    ("window_query", "4-3"): "%%fun embedded-script UDF",
+    ("window_query", "5-2"): "%%fun embedded-script UDF",
+    ("udf_query", "1"): "%%fun embedded-script UDF",
+    ("udf_query", "2"): "%%fun embedded-script UDF",
+}
+
+_STMT_SKIP_RE = re.compile(
+    r"^\s*(explain\b|deploy\b|show\s+(deployment|procedure|create\s+"
+    r"procedure|components|jobs?\b|job\b|functions|variables|session|"
+    r"global|table\s+status)|create\s+(procedure|or\s+replace|group)|"
+    r"drop\s+(procedure|deployment|function)|stop\s+job|delete\s+job|"
+    r"set\s+select_mode|create\s+index\s+\S+\s+on\s+[^(]*\(.*ts=|"
+    r"show\s+create\s+procedure)", re.I | re.S)
+
+
+def _cases(suite):
+    with open(f"{P}/{suite}.yaml") as fh:
+        doc = yaml.safe_load(fh)
+    out = []
+    for c in doc["cases"]:
+        sqls = c.get("sql")
+        if sqls is None:
+            continue
+        if isinstance(sqls, str):
+            sqls = [sqls]
+        for k, q in enumerate(sqls):
+            cid = f"{c.get('id')}-{k}" if len(sqls) > 1 else \
+                str(c.get('id'))
+            out.append(pytest.param(suite, cid, q, c.get("tags") or [],
+                                    id=f"{suite}:{cid}"))
+    return out
+
+
+QUERY_SUITES = ["simple_query", "where_query", "join_query",
+                "order_query", "group_query", "having_query",
+                "distinct_query", "rename_query", "sub_query",
+                "union_query", "table_aggregation_query",
+                "window_query", "const_query", "udf_query",
+                "schemas_context/resolve_column_name"]
+
+STMT_SUITES = ["cmd", "insert", "create", "back_quote_identifier"]
+
+
+def _check_skips(suite, cid, tags):
+    if (suite.split("/")[-1], cid) in SKIP:
+        pytest.skip(SKIP[(suite.split("/")[-1], cid)])
+    if any(str(t).upper().startswith("TODO") for t in tags):
+        pytest.skip("tagged TODO in the reference")
+
+
+@pytest.mark.parametrize("suite,cid,q,tags",
+                         [p for s in QUERY_SUITES for p in _cases(s)])
+def test_plan_suite_query_parses(suite, cid, q, tags):
+    _check_skips(suite, cid, tags)
+    from openmldb_ray.sql.parser import parse
+    if re.match(r"\s*(load\s+data|select\b.*into\s+outfile)", q,
+                re.I | re.S) and "select" not in q.lower()[:20]:
+        pytest.skip("statement form — covered by the statement suites")
+    if re.search(r"\binto\s+outfile\b|^\s*load\s+data\b", q, re.I):
+        pytest.skip("statement form — covered by out_in tests")
+    parse(q)
+
+
+@pytest.mark.parametrize("suite,cid,q,tags",
+                         [p for s in STMT_SUITES for p in _cases(s)])
+def test_plan_suite_statement_recognized(suite, cid, q, tags):
+    _check_skips(suite, cid, tags)
+    if _STMT_SKIP_RE.match(q):
+        pytest.skip("online-serving / plan-dump statement "
+                    "(deploy/procedure/job/explain): out of scope")
+    import openmldb_ray.sql.script as sc
+    s = q.strip()
+    if re.match(r"\s*select\b", s, re.I):
+        from openmldb_ray.sql.parser import parse
+        if re.search(r"\binto\s+outfile\b", s, re.I):
+            assert sc._OUTFILE_RE.search(s), s
+        else:
+            parse(s)
+        return
+    recognizers = [sc._LOAD_RE, sc._DROP_RE, sc._CREATE_RE,
+                   sc._CREATE_BARE_RE, sc._CREATE_DB_RE,
+                   sc._DROP_DB_RE, sc._USE_RE, sc._SHOW_RE,
+                   sc._DESC_RE, sc._SET_RE, sc._INDEX_RE]
+    if any(r.match(s) for r in recognizers):
+        return
+    ins = sc.parse_insert(s)
+    assert ins is not None, f"statement not recognized: {s[:80]!r}"
+
+
+def test_insert_values_roundtrip(ray_session):
+    """INSERT ... VALUES appends typed literal rows to the session
+    catalog (insert.yaml literal typing: bare int -> int32, L -> int64,
+    f -> float, quoted date string casts into date columns)."""
+    from openmldb_ray.sql.script import SqlSession
+    s = SqlSession({})
+    s.execute("create table t1 (col1 int, col2 bigint, col3 float, "
+              "col4 double, col5 timestamp, col6 string, col7 date)")
+    s.execute("insert into t1 values(1, 2L, 3.0f, 4.0, "
+              "1590738990000L, 'hello', '2021-05-20');")
+    s.execute("insert into t1 (col1, col6) values(9, 'partial'), "
+              "(10, NULL);")
+    df = s.execute("select col1, col2, col6 from t1").to_pandas() \
+        .sort_values("col1").reset_index(drop=True)
+    assert df["col1"].tolist() == [1, 9, 10]
+    assert df["col2"].tolist()[0] == 2
+    assert df["col6"].tolist() == ["hello", "partial", None]
+    full = s.execute("select * from t1").to_pandas()
+    assert str(full.sort_values("col1")["col7"].iloc[0]) \
+        .startswith("2021-05-20")
+
+
+def test_session_catalog_statements(ray_session):
+    from openmldb_ray.sql.script import SqlSession
+    s = SqlSession({})
+    s.execute("CREATE DATABASE `aa-bb`;")
+    s.execute("USE `aa-bb`")
+    s.execute("create table tx (a int, b string)")
+    assert "aa-bb.tx" in s.tables
+    s.execute("insert into tx values (1, 'x')")
+    assert s.execute("select a from `aa-bb`.tx").count() == 1
+    tabs = s.execute("SHOW TABLES;").to_pandas()
+    assert "tx" in tabs["Tables"].tolist()
+    dbs = s.execute("SHOW DATABASES;").to_pandas()
+    assert "aa-bb" in dbs["Databases"].tolist()
+    desc = s.execute("DESC tx;").to_pandas()
+    assert desc["Field"].tolist() == ["a", "b"]
+    s.execute("SET GLOBAL var1 = 100;")
+    assert s.variables["var1"] == "100"
+    s.execute("CREATE INDEX index1 ON tx (a) ")
+    with pytest.raises(ValueError):
+        s.execute("USE nosuchdb")
+    s.execute("DROP TABLE tx;")
+    assert "tx" not in s.tables

@@ -43,7 +43,13 @@ def grouped_aggregate(
         elif kind == "count":
             plan[f"__{out}_c"] = ("count", col)
             finals[out] = ("count", f"__{out}_c")
-        elif kind in ("sum", "min", "max"):
+        elif kind == "sum":
+            # SQL sum over an all-NULL group is NULL, not 0 — track a
+            # valid count alongside the partial and mask at finalize
+            plan[f"__{out}_p"] = ("sum", col)
+            plan[f"__{out}_c"] = ("count", col)
+            finals[out] = ("sum", f"__{out}_p", f"__{out}_c")
+        elif kind in ("min", "max"):
             plan[f"__{out}_p"] = (kind, col)
             finals[out] = (kind, f"__{out}_p")
         else:
@@ -79,6 +85,8 @@ def grouped_aggregate(
                 out[name] = b[spec[1]] / b[spec[2]]
             elif spec[0] == "count":
                 out[name] = b[spec[1]].astype("int64")
+            elif spec[0] == "sum":
+                out[name] = b[spec[1]].where(b[spec[2]] > 0)
             else:
                 out[name] = b[spec[1]]
         return out

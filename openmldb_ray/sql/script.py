@@ -388,9 +388,11 @@ class SqlSession:
         for alias in self.aliases.get(name, {name}):
             self.tables[alias] = ds
 
-    def execute(self, stmt: str):
+    def execute(self, stmt: str, params: list | tuple | None = None):
         """Run one statement; returns a Dataset for plain SELECTs,
-        None for INTO OUTFILE / LOAD DATA."""
+        None for INTO OUTFILE / LOAD DATA. ``params`` binds ``?``
+        placeholders of a prepared INSERT left to right (the SDK's
+        PreparedStatement surface, dml/test_insert_prepared.yaml)."""
         m = _LOAD_RE.match(stmt)
         if m:
             self._load_data(m.group("path"),
@@ -468,7 +470,7 @@ class SqlSession:
             return None
         ins = parse_insert(stmt)
         if ins is not None:
-            self._insert(*ins)
+            self._insert(*ins, params=params)
             return None
         if _CREATE_BARE_RE.match(stmt):
             raise ValueError(
@@ -476,10 +478,18 @@ class SqlSession:
                 "not materializable (no schema source)")
         return self.run_select(stmt)
 
-    def _insert(self, name: str, cols: list | None, rows: list) -> None:
+    def _insert(self, name: str, cols: list | None, rows: list,
+                params: list | tuple | None = None) -> None:
         """Offline INSERT ... VALUES: append literal rows to a catalog
         table (the online tablet path, src/tablet/tablet_impl.cc, is
         out of scope — this is the session/catalog analog)."""
+        if params is not None:
+            it = iter(params)
+            try:
+                rows = [[(next(it), None) if v[0] is _PARAM else v
+                         for v in r] for r in rows]
+            except StopIteration:
+                raise ValueError("not enough INSERT parameters bound")
         if any(v[0] is _PARAM for r in rows for v in r):
             raise ValueError("prepared INSERT parameters are not bound")
         if name not in self.tables:

@@ -300,7 +300,13 @@ def run_case(case: dict, num_buckets: int = 2):
             sess.execute(spec["create"].replace("{%d}" % i, name))
             ins = spec.get("insert") or spec.get("inserts") or []
             for stmt in ([ins] if isinstance(ins, str) else ins):
-                sess.execute(stmt.replace("{%d}" % i, name))
+                stmt = stmt.replace("{%d}" % i, name)
+                if "?" in stmt and spec.get("rows"):
+                    # prepared form: executed once per parameter row
+                    for prow in spec["rows"]:
+                        sess.execute(stmt, params=prow)
+                else:
+                    sess.execute(stmt)
         else:
             tables[name] = ray.data.from_arrow(_build_table(spec))
         names_order.append(name)

@@ -52,3 +52,12 @@ def test_insert_suite(path, cid, ray_session):
                                  list(range(0, 11))))
 def test_multi_insert_suite(path, cid, ray_session):
     _check(path, cid, ray_session)
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(f"{D}/test_insert_prepared.yaml",
+                                 list(range(0, 15))))
+def test_insert_prepared_suite(path, cid, ray_session):
+    """Prepared INSERT (? placeholders bound per parameter row — the
+    SDK PreparedStatement surface)."""
+    _check(path, cid, ray_session)

@@ -250,11 +250,29 @@ def _run_script_case(case: dict, tables: dict, names_order: list,
     session = SqlSession(tables, run_select=run_sel, workdir=tmp,
                          aliases=aliases)
     last = None
+    out_path, out_header = None, True
+    import re as _re
+    from openmldb_ray.sql.script import _OUTFILE_RE
     for s in case["sqls"]:
-        r = session.execute(sub(s))
+        s = sub(s)
+        m = _OUTFILE_RE.search(s)
+        if m and _re.match(r"\s*(select|with)\b", s, _re.I):
+            out_path = m.group("path")
+            out_header = "false" not in (m.group("opts") or "").lower()
+        r = session.execute(s)
         if r is not None:
             last = r.to_pandas()
     exp = case.get("expect", {}) or {}
+    if last is None and out_path is not None \
+            and exp.get("count") is not None:
+        # count-only expectation against the exported file itself
+        # (v040/test_out_in_offline.yaml id 0)
+        p = out_path if os.path.isabs(out_path) \
+            else os.path.join(tmp, out_path)
+        with open(p) as fh:
+            n = sum(1 for _ in fh) - (1 if out_header else 0)
+        assert n == int(exp["count"]), (n, exp["count"])
+        return (pd.DataFrame(), {})
     if "cat" in exp:
         cat = exp["cat"]
         p = sub(cat["path"])

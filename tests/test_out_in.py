@@ -64,3 +64,15 @@ def test_out_in_cases(path, cid, ray_session):
 @pytest.mark.parametrize("path,cid", _params(PERF, list(range(0, 16))))
 def test_performance_insensitive_cases(path, cid, ray_session):
     _check(path, cid, ray_session)
+
+
+OUT_IN_OFFLINE = ("/root/reference/cases/function/v040/"
+                  "test_out_in_offline.yaml")
+
+
+@pytest.mark.parametrize("path,cid",
+                         _params(OUT_IN_OFFLINE, list(range(0, 39))))
+def test_out_in_offline_cases(path, cid, ray_session):
+    """v040 offline-mode OUTFILE/LOAD roundtrips, incl. the count-only
+    file expectation (id 0) and special-character payloads."""
+    _check(path, cid, ray_session)

@@ -114,6 +114,39 @@ def test_blockwise_rejects_interleaved_layout(ray_session):
         blockwise_corpus_features(ds, _specs())
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_blockwise_random_fragment_layouts(ray_session, seed):
+    """Property: ANY permutation of internally-ordered fragments with
+    random sizes/entity mixes either matches the shuffle plan exactly
+    or refuses — never silently wrong."""
+    from openmldb_ray.pipelines.corpus import corpus_features_fused
+    from openmldb_ray.skew import _NotPresorted, blockwise_corpus_features
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2_000, 6_000))
+    nsrc = int(rng.integers(2, 6))
+    rows = [{"doc_id": f"s{i % nsrc}-{i:08d}",
+             "n_tok": int(rng.integers(16, 256)),
+             "source": f"s{i % nsrc}"} for i in range(n)]
+    # random fragmentation + permutation
+    nfrag = int(rng.integers(4, 24))
+    bounds = sorted(rng.choice(np.arange(1, n), nfrag - 1,
+                               replace=False).tolist())
+    frags = [rows[a:b] for a, b in
+             zip([0] + bounds, bounds + [n])]
+    perm = rng.permutation(len(frags))
+    shuffled = [r for j in perm for r in frags[j]]
+    blocks = int(rng.integers(2, 7))
+    ds = ray.data.from_items(shuffled, override_num_blocks=blocks) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=None).materialize()
+    base = corpus_features_fused(ds, 4).to_pandas()
+    try:
+        got = blockwise_corpus_features(ds, _specs()).to_pandas()
+    except _NotPresorted:
+        return  # refusal is a correct outcome
+    _cmp(base, got)
+
+
 def test_skewaware_blockwise_auto(ray_session):
     """corpus_features_skewaware takes the zero-shuffle path when the
     layout holds and still equals the fused shuffle plan."""

@@ -775,6 +775,37 @@ def _q_union_distinct(sf_dir):
     return sql(_UNION_DISTINCT_SQL, sf_dir, dialect="ansi")
 
 
+def _q_window_presorted(sf_dir):
+    """ZERO-SHUFFLE window over the time-ordered events layout
+    (window.blockwise.blockwise_window_agg): events.parquet is
+    globally ts-sorted, so per-entity history is assembled from
+    block-boundary tails instead of an all-to-all exchange. Key is
+    bucketed to keep entity runs longer than the frame depth (the
+    operator refuses degenerate economics). Same semantics as the
+    shuffle plan — the oracle is a plain SQL window."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.window import Agg, WindowSpec
+    from openmldb_ray.window.blockwise import blockwise_window_agg
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ub = pc.cast(pc.bit_wise_and(b["user_id"], 7), pa.int64())
+        return b.append_column("u_bucket", ub)
+    ev = ev.map_batches(bucket, batch_format="pyarrow")
+    spec = WindowSpec("u_bucket", "ts", preceding_rows=20)
+    out = blockwise_window_agg(
+        ev, spec, [Agg("sum", "value", "sum_v20"),
+                   Agg("count", None, "cnt20"),
+                   Agg("max", "value", "max_v20")],
+        passthrough=["event_id", "u_bucket", "ts"])
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("sum_v20"), "sum_v20",
+            pc.round(b["sum_v20"], ndigits=6)),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_rows": _q_window_rows,
@@ -793,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_open_preceding": _q_window_open_preceding,
         "window_inw": _q_window_inw,
         "window_concat_keys": _q_window_concat_keys,
+        "window_presorted": _q_window_presorted,
         "window_nested": _q_window_nested,
         "fz_window": _q_fz_window,
         "top_cate": _q_top_cate,
@@ -1022,6 +1054,15 @@ def oracle_sql() -> dict[str, str]:
             wt AS (PARTITION BY event_type ORDER BY ts
                    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
                    AND CURRENT ROW)""",
+        "window_presorted": """
+          SELECT event_id,
+                 CAST(user_id % 8 AS BIGINT) AS u_bucket, ts,
+                 round(sum(value) OVER w, 6) AS sum_v20,
+                 count(*) OVER w AS cnt20,
+                 max(value) OVER w AS max_v20
+          FROM events
+          WINDOW w AS (PARTITION BY user_id % 8 ORDER BY ts
+                       ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""",
         "window_nested": """
           WITH r AS (
             SELECT event_id, user_id, ts, value,

@@ -154,6 +154,53 @@ def bench_long_window_preagg() -> tuple[float, int]:
     return wall, len(reqs)
 
 
+def bench_window_tslog() -> tuple[float, int]:
+    """Generic ZERO-SHUFFLE window (window.blockwise) over a cached
+    8M-row time-ordered log (32 entities): ROWS-100 + RANGE-5000
+    frames, two specs, pinned projection. The shuffle plan on the same
+    input is measured once and logged to stderr for BASELINE.md."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from openmldb_ray.io import read_parquet_per_file
+    from openmldb_ray.window import Agg, WindowSpec, window_agg_multi
+    from openmldb_ray.window.blockwise import blockwise_window_agg
+
+    path = "/tmp/openmldb_ray_bench/tslog_8m"
+    from openmldb_ray.state.checkpoint import checkpoint, is_complete
+    if not is_complete(path):
+        def gen(b):
+            i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = (i * 2654435761) % (2 ** 32)
+            return pa.table({
+                "ent": (h % 32).astype(np.int64),
+                "ts": (i * 3 + (h % 3)).astype(np.int64),
+                "v": ((h % 1000) / 7.0)})
+        checkpoint(ray.data.range(8_000_000, override_num_blocks=64)
+                   .map_batches(gen, batch_format="pyarrow"), path)
+    specs = [
+        (WindowSpec("ent", "ts", preceding_rows=100),
+         [Agg("sum", "v", "s100"), Agg("avg", "v", "a100"),
+          Agg("count", None, "n100")]),
+        (WindowSpec("ent", "ts", preceding_range=5000),
+         [Agg("sum", "v", "s5k"), Agg("max", "v", "mx5k")]),
+    ]
+    pt = ["ent", "ts", "v"]
+    log = read_parquet_per_file(path, file_extensions=["parquet"],
+                                columns=pt)
+    t0 = time.time()
+    rows = blockwise_window_agg(log, specs, passthrough=pt).count()
+    wall = time.time() - t0
+    t1 = time.time()
+    window_agg_multi(read_parquet_per_file(
+        path, file_extensions=["parquet"], columns=pt),
+        specs, passthrough=pt, num_buckets=None).count()
+    print(f"window_tslog shuffle-plan comparison: "
+          f"{time.time() - t1:.2f}s (blockwise {wall:.2f}s)",
+          file=sys.stderr)
+    return wall, rows
+
+
 def bench_ann() -> tuple[float, int]:
     import numpy as np
     import pyarrow.parquet as pq
@@ -184,6 +231,7 @@ def run_all() -> dict:
         "asof_events": bench_asof_events,
         "dedup_exact": bench_dedup_exact,
         "ann_bruteforce": bench_ann,
+        "window_tslog_blockwise": bench_window_tslog,
         "long_window_preagg": bench_long_window_preagg,
     }
     queries, rows_out = {}, {}

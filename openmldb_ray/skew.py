@@ -590,7 +590,8 @@ class _BlockWindow:
 
 
 def _entity_segments(b: pa.Table, key_col: str, order_col: str,
-                     cuts: dict | None = None):
+                     cuts: dict | None = None,
+                     split_ties: bool = True):
     """Split a raw block into per-entity MONOTONE SEGMENTS without
     assuming anything about block-level ordering.
 
@@ -635,7 +636,12 @@ def _entity_segments(b: pa.Table, key_col: str, order_col: str,
         k = keys[int(code_s[lo])]
         vals = ov[lo:hi]
         if hi - lo > 1:
-            desc = np.flatnonzero(vals[1:] <= vals[:-1]) + 1 + lo
+            # split_ties: unique-order layouts (corpus doc ids) split
+            # at equality too (a duplicate = an order restart); for
+            # duplicate-bearing time axes, only true descents split
+            desc = np.flatnonzero((vals[1:] <= vals[:-1])
+                                  if split_ties
+                                  else (vals[1:] < vals[:-1])) + 1 + lo
         else:
             desc = np.empty(0, dtype=np.int64)
         bounds = np.concatenate(([lo], desc, [hi]))

@@ -112,9 +112,11 @@ class Catalog:
 
 
 class Planner:
-    def __init__(self, catalog: Catalog, dialect: str = "ansi"):
+    def __init__(self, catalog: Catalog, dialect: str = "ansi",
+                 presorted: bool = False):
         self.catalog = catalog
         self.dialect = dialect
+        self.presorted = presorted
         self._gen = 0
 
     def _name(self, prefix="c") -> str:
@@ -149,7 +151,8 @@ class Planner:
         # otherwise the union operator logs schema-mismatch warnings
         acc = left.map_batches(align, batch_format="pyarrow")
         for op, rhs_sel in ops:
-            rhs = Planner(self.catalog, self.dialect).plan(rhs_sel)
+            rhs = Planner(self.catalog, self.dialect,
+                          presorted=self.presorted).plan(rhs_sel)
             rnames = list(rhs.columns())
             if len(rnames) != len(lnames):
                 raise ValueError(
@@ -216,7 +219,7 @@ class Planner:
             for name, sub in sel.ctes.items():
                 scoped[name] = Planner(
                     Catalog(self.catalog.sf_dir, scoped),
-                    self.dialect).plan(sub)
+                    self.dialect, presorted=self.presorted).plan(sub)
             self.catalog = Catalog(self.catalog.sf_dir, scoped)
         if sel.set_ops:
             # UNION [ALL|DISTINCT] chain, left-associative
@@ -612,6 +615,23 @@ class Planner:
                 union_ds.append(_pad_to_schema(
                     with_derived(self.catalog.load(tref.name, None)),
                     schema))
+            if self.presorted and not union_ds and \
+                    sort_cols == [spec.order_by]:
+                # presorted optimization flag (the analog of the
+                # reference's plan-selection configs like
+                # openmldb.window.skew.opt): try the zero-shuffle
+                # blockwise plan; verification failure / unbounded
+                # frames / degenerate economics fall back to the
+                # shuffle plan
+                from openmldb_ray.skew import _NotPresorted
+                from openmldb_ray.window.blockwise import \
+                    blockwise_window_agg
+                try:
+                    ds = blockwise_window_agg(
+                        ds, [(spec, aggs)], passthrough=passthrough)
+                    continue
+                except _NotPresorted:
+                    pass
             ds = window_agg_multi(
                 ds, [(spec, aggs)], union_ds=union_ds,
                 passthrough=passthrough, sort_cols=sort_cols)
@@ -1297,7 +1317,8 @@ def _residual_condition(residuals, side):
 def sql(query: str, sf_dir: str | None = None,
         tables: dict | None = None,
         dialect: str = "ansi",
-        params: list | tuple | None = None) -> ray.data.Dataset:
+        params: list | tuple | None = None,
+        presorted: bool = False) -> ray.data.Dataset:
     """Run a SQL query (the engine's supported subset) over the testdata
     tables in ``sf_dir`` and/or explicit ``tables`` (name -> Dataset).
 
@@ -1307,6 +1328,12 @@ def sql(query: str, sf_dir: str | None = None,
 
     ``params`` binds positional ``?`` placeholders left to right
     (parameterized queries, hybridse RequestRunSession parameter row).
+
+    ``presorted``: hint that source tables are physically time-ordered
+    — window stages try the zero-shuffle blockwise plan first and fall
+    back to the shuffle plan when verification, frame bounds, or
+    economics say otherwise (the analog of the reference's plan-
+    selection configs, e.g. ``openmldb.window.skew.opt``).
     """
     from openmldb_ray.sql.ast import Param
     from openmldb_ray.sql.parser import parse
@@ -1319,4 +1346,5 @@ def sql(query: str, sf_dir: str | None = None,
                 f"placeholders but {len(params or ())} values bound")
         for p in phs:
             p.value = params[p.idx]
-    return Planner(Catalog(sf_dir, tables), dialect).plan(sel)
+    return Planner(Catalog(sf_dir, tables), dialect,
+                   presorted=presorted).plan(sel)

@@ -84,7 +84,8 @@ class _GenericSummary:
     first (the reference drops them, WindowAggPlan.scala:783-791)."""
 
     def __init__(self, keys, order_by, tail_rows, tail_range, cols):
-        self.key_col = keys[0]
+        self.keys = list(keys)
+        self.key_col = keys[0] if len(keys) == 1 else "__ckey__"
         self.order_by = order_by
         self.tail_rows = tail_rows
         self.tail_range = tail_range
@@ -95,7 +96,18 @@ class _GenericSummary:
         b = b.select(self.cols)
         ts = order_to_int64(b[self.order_by])
         keep = ts >= 0
-        return b if keep.all() else b.filter(pa.array(keep))
+        if not keep.all():
+            b = b.filter(pa.array(keep))
+        if len(self.keys) > 1:
+            # composite partition key: one derived segmentation column
+            # (the kernel still groups on the real key columns)
+            import pyarrow.compute as pc
+            ck = pc.cast(b[self.keys[0]], pa.string())
+            for kcol in self.keys[1:]:
+                ck = pc.binary_join_element_wise(
+                    ck, pc.cast(b[kcol], pa.string()), "\x1f")
+            b = b.append_column("__ckey__", ck)
+        return b
 
     def _empty(self) -> pa.Table:
         return pa.table({
@@ -261,8 +273,8 @@ class _GenericBlockWindow:
         if b.num_rows == 0:
             return self._runner()._empty_table(
                 b.append_column(_TAG, pa.array([], type=pa.int8())))
-        b2, segs = _entity_segments(b, self.keys[0], self.order_by,
-                                    split_ties=False)
+        b2, segs = _entity_segments(b, self.summary.key_col,
+                                    self.order_by, split_ties=False)
         # per entity, walk segments in ts order (block order of
         # same-entity fragments is arbitrary)
         by_key: dict = {}
@@ -327,8 +339,6 @@ def blockwise_window_agg(
         else [(spec, list(aggs or ()))]
     specs_aggs = [(s, list(a)) for s, a in specs_aggs]
     spec0 = specs_aggs[0][0]
-    if len(spec0.keys) != 1:
-        raise _NotPresorted("single partition key supported")
     for s, _ in specs_aggs:
         if tuple(s.keys) != tuple(spec0.keys) \
                 or s.order_by != spec0.order_by:

@@ -135,6 +135,26 @@ def test_modifiers_exclude_current_time_and_maxsize(ray_session):
     _cmp(base, got, key=("eid",))
 
 
+def test_multi_key_partition(ray_session):
+    """Composite PARTITION BY (user, cat): segmentation runs on a
+    derived key; the kernel groups on the real columns."""
+    from openmldb_ray.window.blockwise import blockwise_window_agg
+    from openmldb_ray.window.runner import window_agg_multi
+    df = _events(n=5000, users=3, seed=12)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=700).materialize()
+    spec = WindowSpec(("user", "cat"), "ts", preceding_rows=15)
+    aggs = [Agg("sum", "v", "s"), Agg("count", None, "n")]
+    pt = ["eid", "user", "cat", "ts"]
+    base = window_agg_multi(ds, [(spec, aggs)], passthrough=pt,
+                            num_buckets=4).to_pandas()
+    got = blockwise_window_agg(ds, spec, aggs,
+                               passthrough=pt).to_pandas()
+    _cmp(base, got, key=("eid",))
+
+
 def test_refuses_unsorted_layout(ray_session):
     from openmldb_ray.skew import _NotPresorted
     from openmldb_ray.window.blockwise import blockwise_window_agg
@@ -147,6 +167,22 @@ def test_refuses_unsorted_layout(ray_session):
     spec = WindowSpec("user", "ts", preceding_rows=10)
     with pytest.raises(_NotPresorted):
         blockwise_window_agg(ds, spec, [Agg("sum", "v", "s")])
+
+
+def test_sql_presorted_flag(ray_session):
+    """sql(..., presorted=True) routes window stages through the
+    zero-shuffle plan (with automatic fallback) — same results."""
+    from openmldb_ray.sql import sql
+    SF = "/root/testdata/sf0.001"
+    q = ("select event_id, user_id % 4 as ub, ts, "
+         "sum(value) over w as s, count(*) over w as n from events "
+         "window w as (partition by user_id % 4 order by ts "
+         "rows between 10 preceding and current row)")
+    a = sql(q, SF).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    b = sql(q, SF, presorted=True).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
 
 
 def test_refuses_unbounded_frames(ray_session):

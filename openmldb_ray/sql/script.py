@@ -476,6 +476,13 @@ class SqlSession:
             raise ValueError(
                 "CREATE TABLE without a column list is recognized but "
                 "not materializable (no schema source)")
+        m = re.match(r"\s*explain\s+(?:logical\s+|physical\s+)?(?P<q>.+)$",
+                     stmt, re.I | re.S)
+        if m:
+            from openmldb_ray.sql.explain import explain
+            return ray.data.from_arrow(pa.table({
+                "plan": pa.array(explain(m.group("q")).splitlines(),
+                                 type=pa.string())}))
         return self.run_select(stmt)
 
     def _insert(self, name: str, cols: list | None, rows: list,

@@ -113,10 +113,13 @@ class Catalog:
 
 class Planner:
     def __init__(self, catalog: Catalog, dialect: str = "ansi",
-                 presorted: bool = False):
+                 presorted: bool = False, skew_opt: bool = False,
+                 skew_min_rows: int = 100_000):
         self.catalog = catalog
         self.dialect = dialect
         self.presorted = presorted
+        self.skew_opt = skew_opt
+        self.skew_min_rows = skew_min_rows
         self._gen = 0
 
     def _name(self, prefix="c") -> str:
@@ -615,6 +618,17 @@ class Planner:
                 union_ds.append(_pad_to_schema(
                     with_derived(self.catalog.load(tref.name, None)),
                     schema))
+            if self.skew_opt and not union_ds and \
+                    sort_cols == [spec.order_by] \
+                    and len(spec.keys) == 1:
+                # the reference's openmldb.window.skew.opt: quantile-
+                # salt hot keys with replicated history; detects hot
+                # keys itself and degrades to the plain window plan
+                from openmldb_ray.skew import salted_window_agg
+                ds = salted_window_agg(ds, spec, aggs,
+                                       passthrough=passthrough,
+                                       min_rows=self.skew_min_rows)
+                continue
             if self.presorted and not union_ds and \
                     sort_cols == [spec.order_by]:
                 # presorted optimization flag (the analog of the
@@ -1318,7 +1332,9 @@ def sql(query: str, sf_dir: str | None = None,
         tables: dict | None = None,
         dialect: str = "ansi",
         params: list | tuple | None = None,
-        presorted: bool = False) -> ray.data.Dataset:
+        presorted: bool = False,
+        skew_opt: bool = False,
+        skew_min_rows: int = 100_000) -> ray.data.Dataset:
     """Run a SQL query (the engine's supported subset) over the testdata
     tables in ``sf_dir`` and/or explicit ``tables`` (name -> Dataset).
 
@@ -1332,8 +1348,13 @@ def sql(query: str, sf_dir: str | None = None,
     ``presorted``: hint that source tables are physically time-ordered
     — window stages try the zero-shuffle blockwise plan first and fall
     back to the shuffle plan when verification, frame bounds, or
-    economics say otherwise (the analog of the reference's plan-
-    selection configs, e.g. ``openmldb.window.skew.opt``).
+    economics say otherwise.
+
+    ``skew_opt``: the reference's ``openmldb.window.skew.opt`` —
+    window stages run through the quantile-salting plan
+    (skew.salted_window_agg): hot keys (> hot_frac of rows and >=
+    ``skew_min_rows``) spread over time-quantile parts with replicated
+    buffer-only history; no hot keys means the plain window plan.
     """
     from openmldb_ray.sql.ast import Param
     from openmldb_ray.sql.parser import parse
@@ -1347,4 +1368,5 @@ def sql(query: str, sf_dir: str | None = None,
         for p in phs:
             p.value = params[p.idx]
     return Planner(Catalog(sf_dir, tables), dialect,
-                   presorted=presorted).plan(sel)
+                   presorted=presorted, skew_opt=skew_opt,
+                   skew_min_rows=skew_min_rows).plan(sel)

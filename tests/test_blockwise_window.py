@@ -185,6 +185,31 @@ def test_sql_presorted_flag(ray_session):
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+def test_sql_skew_opt_flag(ray_session):
+    """sql(..., skew_opt=True) = the reference's
+    openmldb.window.skew.opt: identical results on a skewed table
+    (one key holds ~60% of rows)."""
+    from openmldb_ray.sql import sql
+    rng = np.random.default_rng(6)
+    n = 4000
+    hot = rng.random(n) < 0.6
+    df = pd.DataFrame({
+        "k": np.where(hot, 0, rng.integers(1, 20, n)).astype(np.int64),
+        "ts": np.sort(rng.integers(0, 100_000, n)).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.float64),
+        "i": np.arange(n)})
+    t = ray.data.from_arrow(pa.Table.from_pandas(df))
+    q = ("select i, k, ts, sum(v) over w as s, count(*) over w as n "
+         "from t window w as (partition by k order by ts "
+         "rows_range between 5000 preceding and current row)")
+    a = sql(q, tables={"t": t}, dialect="openmldb").to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    b = sql(q, tables={"t": t}, dialect="openmldb", skew_opt=True,
+            skew_min_rows=500).to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_refuses_unbounded_frames(ray_session):
     from openmldb_ray.skew import _NotPresorted
     from openmldb_ray.window.blockwise import blockwise_window_agg

@@ -128,6 +128,14 @@ def tokenize(text: str) -> list[Tok]:
                 toks.append(Tok("NUM", int(lit), i))
                 i = j + 1
                 continue
+            if j < n and (text[j].isalpha() or text[j] == "_"):
+                # 0xFF / 100ss / 12abc: the reference rejects numeric
+                # literals glued to identifier characters
+                # (cases/plan/error_unsupport_sql.yaml id 6,
+                # error_query.yaml id 6)
+                raise ValueError(
+                    f"malformed numeric literal at {i}: "
+                    f"{text[i:j + 3]!r}")
             toks.append(Tok("NUM", float(lit) if isfloat else int(lit), i))
             i = j
             continue

@@ -152,6 +152,11 @@ class Parser:
                 name = self.ident()
                 self.expect_kw("AS")
                 self.expect_op("(")
+                if name in windows:
+                    # duplicate window name is a plan error in the
+                    # reference (cases/plan/error_query.yaml id 2)
+                    raise ValueError(
+                        f"duplicate window definition {name!r}")
                 windows[name] = self.window_def(name)
                 self.expect_op(")")
                 if not self.eat_op(","):

@@ -131,6 +131,52 @@ def test_plan_suite_statement_recognized(suite, cid, q, tags):
     assert ins is not None, f"statement not recognized: {s[:80]!r}"
 
 
+# engine-more-permissive divergences in the error suites, each
+# deliberate (this engine supports the construct the reference's
+# parser/planner rejects)
+ERROR_PERMISSIVE = {
+    ("error_query", "0"): "expressions over several windows in one "
+        "SELECT are supported (built-in ConcatJoin-style chaining)",
+    ("error_unsupport_sql", "group_complex_expression"):
+        "expression GROUP BY keys are supported",
+    ("error_request_query", "0"): "batch engine: UNION ALL supported "
+        "(the restriction is request-mode-only)",
+    ("error_request_query", "1"): "batch engine: join over subquery "
+        "supported (request-mode index restriction)",
+}
+
+
+@pytest.mark.parametrize("suite,cid,q,tags",
+                         [p for s in ("error_query",
+                                      "error_unsupport_sql",
+                                      "error_request_query")
+                          for p in _cases(s)])
+def test_plan_suite_errors_rejected(suite, cid, q, tags, ray_session):
+    """Every error-suite SQL must be REJECTED (parse, plan, or
+    execution over a dummy catalog) — unless this engine deliberately
+    supports the construct (ERROR_PERMISSIVE, each with the reason)."""
+    if (suite, cid) in ERROR_PERMISSIVE:
+        pytest.skip(ERROR_PERMISSIVE[(suite, cid)])
+    import pyarrow as pa
+    import ray.data
+
+    from openmldb_ray.sql import sql
+    t1 = ray.data.from_arrow(pa.table({
+        "key1": pa.array([1, 1, 2]), "key2": pa.array([1, 2, 2]),
+        "ts1": pa.array([1, 2, 3], type=pa.int64()),
+        "ts2": pa.array([1, 2, 3], type=pa.int64()),
+        "c1": pa.array([1.0, 2.0, 3.0]), "col0": pa.array([1, 2, 3]),
+        "col1": pa.array([1, 2, 3]), "col2": pa.array([1, 2, 3]),
+        "col5": pa.array([1, 2, 3], type=pa.int64()),
+        "uId": pa.array([1, 2, 3]),
+    }))
+    with pytest.raises(Exception):
+        res = sql(q, tables={"t1": t1, "t": t1, "t2": t1, "tt": t1,
+                             "Users": t1},
+                  dialect="openmldb")
+        res.to_pandas()  # some rejections surface at execution
+
+
 def test_insert_values_roundtrip(ray_session):
     """INSERT ... VALUES appends typed literal rows to the session
     catalog (insert.yaml literal typing: bare int -> int32, L -> int64,

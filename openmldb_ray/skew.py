@@ -452,8 +452,27 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
             for k, rows in per_src.items()}
         meta.update(status="overlap", msg=str(e))
         return (meta, cuts)
+    # flatten the history tails into TWO big arrays + integer slices:
+    # serializing ~13k small numpy arrays individually costs seconds
+    # of per-buffer overhead (same pathology as the generic window's
+    # plan payload)
+    metas: dict = {}
+    ts_parts, val_parts = [], []
+    at = 0
+    for k, plan in plans.items():
+        m = {}
+        for first, (off, hts, hvals, dim) in plan.items():
+            m[first] = (off, at, at + len(hts), dim)
+            ts_parts.append(hts)
+            val_parts.append(hvals)
+            at += len(hts)
+        metas[k] = m
+    big_ts = np.concatenate(ts_parts) if ts_parts else \
+        np.empty(0, dtype=np.int64)
+    big_vals = np.concatenate(val_parts) if val_parts else \
+        np.empty(0, dtype=np.int64)
     meta.update(status="ok", task_s=round(_time.monotonic() - _t0, 3))
-    return (meta, plans)
+    return (meta, (metas, big_ts, big_vals))
 
 
 def _assemble_offsets(summary_rows: list[dict], tail_rows: int,
@@ -626,7 +645,20 @@ def _entity_segments(b: pa.Table, key_col: str, order_col: str,
     order_idx = np.argsort(code_np, kind="stable")
     b2 = b.take(pa.array(order_idx))
     code_s = code_np[order_idx]
-    ov = b2[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+    # adjacent-order comparisons via an Arrow kernel over the whole
+    # regrouped column — the per-run numpy object-array compare cost
+    # ~0.3-0.5 s cpu per 500k-row block of strings
+    ocol = b2[order_col].combine_chunks()
+    n = len(ocol)
+    if n > 1:
+        import pyarrow.compute as pc2
+        cmpfn = pc2.less_equal if split_ties else pc2.less
+        adj = cmpfn(ocol.slice(1), ocol.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        desc_all = np.flatnonzero(adj) + 1
+    else:
+        desc_all = np.empty(0, dtype=np.int64)
+    ov = None  # object values materialized only when cuts apply
     rb = np.concatenate(
         ([0], np.flatnonzero(code_s[1:] != code_s[:-1]) + 1,
          [len(code_s)]))
@@ -634,21 +666,17 @@ def _entity_segments(b: pa.Table, key_col: str, order_col: str,
     for i in range(len(rb) - 1):
         lo, hi = int(rb[i]), int(rb[i + 1])
         k = keys[int(code_s[lo])]
-        vals = ov[lo:hi]
-        if hi - lo > 1:
-            # split_ties: unique-order layouts (corpus doc ids) split
-            # at equality too (a duplicate = an order restart); for
-            # duplicate-bearing time axes, only true descents split
-            desc = np.flatnonzero((vals[1:] <= vals[:-1])
-                                  if split_ties
-                                  else (vals[1:] < vals[:-1])) + 1 + lo
-        else:
-            desc = np.empty(0, dtype=np.int64)
-        bounds = np.concatenate(([lo], desc, [hi]))
+        # split_ties: unique-order layouts (corpus doc ids) split at
+        # equality too (a duplicate = an order restart); for
+        # duplicate-bearing time axes, only true descents split
+        d0, d1 = np.searchsorted(desc_all, (lo + 1, hi))
+        bounds = np.concatenate(([lo], desc_all[d0:d1], [hi]))
         if cuts is not None and k in cuts and len(cuts[k]):
+            if ov is None:
+                ov = ocol.to_numpy(zero_copy_only=False)
             # cuts must be located WITHIN each descent segment (the
             # run as a whole is not sorted across descents)
-            extra = [np.searchsorted(vals[s - lo:e - lo], cuts[k],
+            extra = [np.searchsorted(ov[s:e], cuts[k],
                                      side="left") + s
                      for s, e in zip(bounds[:-1], bounds[1:])]
             bounds = np.unique(np.concatenate([bounds] + extra))
@@ -712,8 +740,18 @@ class _MultiBlockWindow:
     @property
     def plans(self):
         if self._plans is None:
-            self._plans = ray.get(self._plan_ref) if isinstance(
+            payload = ray.get(self._plan_ref) if isinstance(
                 self._plan_ref, ray.ObjectRef) else self._plan_ref
+            if isinstance(payload, tuple):
+                # flattened form: rebuild per-key plans as zero-copy
+                # views into the two big tail arrays
+                metas, big_ts, big_vals = payload
+                payload = {
+                    k: {first: (off, big_ts[lo:hi], big_vals[lo:hi],
+                                dim)
+                        for first, (off, lo, hi, dim) in m.items()}
+                    for k, m in metas.items()}
+            self._plans = payload
         return self._plans
 
     def __call__(self, b: pa.Table) -> pa.Table:

@@ -18,7 +18,6 @@ the window kernel (Agg(..., params=(delim[, kv_delim]))).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 

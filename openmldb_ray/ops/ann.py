@@ -10,15 +10,12 @@
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
 
-from openmldb_ray.context import pool_concurrency
 
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data
 
 from openmldb_ray.joins import last_join
-from openmldb_ray.window import Agg, WindowSpec, window_agg
+from openmldb_ray.window import Agg, WindowSpec
 
 VOCAB = 50257
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from openmldb_ray.sql.ast import (BinOp, Bound, Col, Func, Select,
+from openmldb_ray.sql.ast import (BinOp, Col, Func, Select,
                                   SelectItem, Star, TableRef, WinCall,
                                   WindowDef)
 from openmldb_ray.sql.exprs import collect, const_eval, eval_expr

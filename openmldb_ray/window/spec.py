@@ -11,7 +11,7 @@ Semantics spec (reference, read-only, cited for parity only):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -154,6 +154,19 @@ def bench_long_window_preagg() -> tuple[float, int]:
     return wall, len(reqs)
 
 
+def bench_minhash_pairs() -> tuple[float, int]:
+    """MinHash+LSH near-duplicate pairs over sf documents: shingle ->
+    minhash -> banded buckets -> bucket-local candidate pairs ->
+    join-based exact-Jaccard verify (no whole-corpus materialization).
+    Tracks the near-dup family's wall time per round."""
+    from openmldb_ray.io import read_table
+    from openmldb_ray.ops.dedup import minhash_duplicate_pairs
+    t0 = time.time()
+    docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    rows = minhash_duplicate_pairs(docs, "text", "doc_id").count()
+    return time.time() - t0, rows
+
+
 def bench_window_tslog() -> tuple[float, int]:
     """Generic ZERO-SHUFFLE window (window.blockwise) over a cached
     8M-row time-ordered log (32 entities): ROWS-100 + RANGE-5000
@@ -220,10 +233,18 @@ def bench_ann() -> tuple[float, int]:
 def run_all() -> dict:
     import ray
     if not ray.is_initialized():
+        # log_to_driver=False: raylet WARNING forwards land on stdout
+        # and would corrupt the one-JSON-line contract
         ray.init(address="local", num_cpus=NUM_CPUS,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     from openmldb_ray.context import tune_data_context
     tune_data_context()
+    # keep stdout to the single JSON line (ray.data warning handlers
+    # can write to stdout and corrupt naive parsers)
+    import logging
+    for name in ("ray.data", "ray"):
+        logging.getLogger(name).setLevel(logging.ERROR)
 
     benches = {
         "corpus_flagship": bench_corpus_flagship,
@@ -231,6 +252,7 @@ def run_all() -> dict:
         "asof_events": bench_asof_events,
         "dedup_exact": bench_dedup_exact,
         "ann_bruteforce": bench_ann,
+        "minhash_pairs": bench_minhash_pairs,
         "window_tslog_blockwise": bench_window_tslog,
         "long_window_preagg": bench_long_window_preagg,
     }

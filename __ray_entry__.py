@@ -415,6 +415,18 @@ def _q_text_quality(sf_dir):
                                "avg_word_len", "digit_ratio", "punct_ratio"])
 
 
+def _q_repetition(sf_dir):
+    """Intra-document repetition (duplicate word-bigram fraction) —
+    the Gopher/RefinedWeb quality rule, vectorized FNV bigram hashes
+    (ops.text.RepetitionScore)."""
+    from openmldb_ray.ops.text import RepetitionScore, with_text_features
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = with_text_features(docs, [RepetitionScore])
+    return out.select_columns(["doc_id", "n_bigrams",
+                               "n_distinct_bigrams",
+                               "dup_bigram_ratio"])
+
+
 def _q_dedup_exact(sf_dir):
     from openmldb_ray.ops.dedup import dedup_exact
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
@@ -850,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "dedup_exact": _q_dedup_exact,
+        "repetition": _q_repetition,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1200,6 +1213,26 @@ def oracle_sql() -> dict[str, str]:
                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
                       AS BIGINT) AS n_words
           FROM documents""",
+        "repetition": r"""
+          WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+          b AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+            FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+          agg AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   count(DISTINCT bg) AS n_distinct_bigrams
+            FROM b GROUP BY doc_id)
+          SELECT w.doc_id,
+                 coalesce(agg.n_bigrams, 0) AS n_bigrams,
+                 coalesce(agg.n_distinct_bigrams, 0)
+                   AS n_distinct_bigrams,
+                 round(CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+                       THEN 1.0 - agg.n_distinct_bigrams::DOUBLE
+                                  / agg.n_bigrams
+                       ELSE 0.0 END, 6) AS dup_bigram_ratio
+          FROM w LEFT JOIN agg USING (doc_id)""",
         "text_quality": """
           SELECT doc_id,
             CAST(length(text) AS BIGINT) AS n_chars,

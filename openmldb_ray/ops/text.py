@@ -123,6 +123,63 @@ class Fingerprint:
         return batch
 
 
+class RepetitionScore:
+    """Duplicate word-bigram fraction — the Gopher/RefinedWeb intra-
+    document repetition quality rule: heavily repetitive documents
+    (boilerplate, keyword stuffing, templated spam) show a high
+    ``dup_bigram_ratio = 1 - distinct_bigrams / bigrams``.
+
+    Fully vectorized over the batch: one Arrow whitespace split + flat
+    FNV word hashes (functions.hashing), adjacent-pair bigram hashes
+    masked at document boundaries, then a single lexsort counts
+    distinct bigrams per document (no per-document Python). 64-bit
+    bigram hashes stand in for the exact strings (collision odds at
+    corpus scale ~2^-30 per batch; the DuckDB oracle compares exact
+    values and agrees)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def _scores(self, texts):
+        from openmldb_ray.functions.hashing import word_hashes_batch
+        wh, doc_off = word_hashes_batch(texts)
+        ndocs = len(doc_off) - 1
+        counts = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
+        n_bi = np.maximum(counts - 1, 0)
+        distinct = np.zeros(ndocs, dtype=np.int64)
+        if len(wh) > 1:
+            doc_of_word = np.repeat(np.arange(ndocs), counts)
+            same_doc = doc_of_word[:-1] == doc_of_word[1:]
+            with np.errstate(over="ignore"):
+                bh = wh[:-1] * np.uint64(0x100000001B3) ^ wh[1:]
+            bh = bh[same_doc]
+            bdoc = doc_of_word[:-1][same_doc]
+            if len(bh):
+                order = np.lexsort((bh, bdoc))
+                sb, sd = bh[order], bdoc[order]
+                first = np.concatenate(
+                    ([True], (sd[1:] != sd[:-1]) | (sb[1:] != sb[:-1])))
+                distinct = np.bincount(sd[first], minlength=ndocs)
+        ratio = np.where(n_bi > 0, 1.0 - distinct / np.maximum(n_bi, 1),
+                         0.0)
+        return n_bi, distinct.astype(np.int64), np.round(ratio, 6)
+
+    def __call__(self, batch):
+        if isinstance(batch, pa.Table):
+            n_bi, distinct, ratio = self._scores(batch[self.text_col])
+            batch = batch.append_column("n_bigrams", pa.array(n_bi))
+            batch = batch.append_column("n_distinct_bigrams",
+                                        pa.array(distinct))
+            return batch.append_column("dup_bigram_ratio",
+                                       pa.array(ratio))
+        n_bi, distinct, ratio = self._scores(
+            batch[self.text_col].tolist())
+        batch["n_bigrams"] = n_bi
+        batch["n_distinct_bigrams"] = distinct
+        batch["dup_bigram_ratio"] = ratio
+        return batch
+
+
 def with_text_features(ds: ray.data.Dataset, stages, batch_size: int = 4096,
                        concurrency: int | None = None) -> ray.data.Dataset:
     """Chain text stages as one actor pool each."""

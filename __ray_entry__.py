@@ -427,6 +427,37 @@ def _q_repetition(sf_dir):
                                "dup_bigram_ratio"])
 
 
+def _q_corpus_clean(sf_dir):
+    """Composed C4/RefinedWeb-style cleaning pass, one streaming
+    pipeline: exact dedup (keep min doc_id per identical text) ->
+    quality metrics -> repetition scoring -> rule filter. The whole
+    pass is expressible in ANSI SQL, so every survivor is
+    oracle-checked."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.ops.dedup import dedup_exact
+    from openmldb_ray.ops.text import (QualityScore, RepetitionScore,
+                                       with_text_features)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    survivors = dedup_exact(docs, "text", "doc_id")
+    feats = with_text_features(survivors,
+                               [QualityScore, RepetitionScore])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.greater_equal(b["n_words"], 10),
+                    pc.less_equal(b["n_words"], 10_000)),
+            pc.and_(pc.less(b["dup_bigram_ratio"], 0.08),
+                    pc.less(b["digit_ratio"], 0.2)))
+        t = b.filter(ok)
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "n_words": t["n_words"],
+            "dup_bigram_ratio": t["dup_bigram_ratio"],
+        })
+    return feats.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir):
     from openmldb_ray.ops.dedup import dedup_exact
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
@@ -863,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "dedup_exact": _q_dedup_exact,
         "repetition": _q_repetition,
+        "corpus_clean": _q_corpus_clean,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1213,6 +1245,36 @@ def oracle_sql() -> dict[str, str]:
                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
                       AS BIGINT) AS n_words
           FROM documents""",
+        "corpus_clean": r"""
+          WITH surv AS (
+            SELECT doc_id, text, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text
+                                       ORDER BY doc_id) = 1),
+          w AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS ws,
+                   len(regexp_extract_all(text, '[0-9]'))
+                     / CAST(greatest(length(text), 1) AS DOUBLE)
+                     AS digit_ratio
+            FROM surv),
+          b AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+            FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+          agg AS (
+            SELECT doc_id, count(*) AS nb,
+                   count(DISTINCT bg) AS nd
+            FROM b GROUP BY doc_id)
+          SELECT w.doc_id, w.source,
+                 CAST(len(w.ws) AS BIGINT) AS n_words,
+                 round(CASE WHEN coalesce(agg.nb, 0) > 0
+                       THEN 1.0 - agg.nd::DOUBLE / agg.nb
+                       ELSE 0.0 END, 6) AS dup_bigram_ratio
+          FROM w LEFT JOIN agg USING (doc_id)
+          WHERE len(w.ws) BETWEEN 10 AND 10000
+            AND round(CASE WHEN coalesce(agg.nb, 0) > 0
+                      THEN 1.0 - agg.nd::DOUBLE / agg.nb
+                      ELSE 0.0 END, 6) < 0.08
+            AND w.digit_ratio < 0.2""",
         "repetition": r"""
           WITH w AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws

@@ -161,3 +161,11 @@ def default_num_buckets(floor: int = 8, ds=None) -> int:
                 return int(max(4, min(cap, est // (8 << 20))))
         return cap
     return max(floor, cpus // 2)
+
+
+def shuffle_partitions(n: int) -> int:
+    """Cap an explicit exchange partition count at the context's
+    hash-shuffle parallelism: aggregator-actor reservations beyond
+    ~2x CPUs starve producer stages on small nodes (observed: a
+    64-partition anti-join deadlocking an 8-cpu node)."""
+    return max(1, min(int(n), 2 * cluster_cpus()))

@@ -177,8 +177,16 @@ def hash_join(
                 out = out.append_column(c, rout[c])
             return out
 
-    return tagged.groupby(_BUCKET).map_groups(BucketMerge(),
-                                              batch_format="pyarrow")
+    try:
+        # partition count = bucket count: a small join shouldn't spin
+        # the context-default aggregator pool (fixed actor startup per
+        # exchange dominates tiny joins)
+        from openmldb_ray.context import shuffle_partitions
+        grouped = tagged.groupby(
+            _BUCKET, num_partitions=shuffle_partitions(num_buckets))
+    except TypeError:
+        grouped = tagged.groupby(_BUCKET)
+    return grouped.map_groups(BucketMerge(), batch_format="pyarrow")
 
 
 def hash_anti_join(
@@ -257,5 +265,10 @@ def hash_anti_join(
     pad.__name__ = "anti_pad_right"
 
     aligned = tagged.union(rt.map_batches(pad, batch_format="pyarrow"))
-    return aligned.groupby(_BUCKET).map_groups(BucketAnti(),
-                                               batch_format="pyarrow")
+    try:
+        from openmldb_ray.context import shuffle_partitions
+        grouped = aligned.groupby(
+            _BUCKET, num_partitions=shuffle_partitions(num_buckets))
+    except TypeError:
+        grouped = aligned.groupby(_BUCKET)
+    return grouped.map_groups(BucketAnti(), batch_format="pyarrow")

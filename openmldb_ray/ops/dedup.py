@@ -187,9 +187,20 @@ def _candidate_pairs(rows: ray.data.Dataset, id_col: str,
         return g.group_by(["id_a", "id_b"]).aggregate([])
     distinct_pairs.__name__ = "distinct_pairs"
 
-    cand = rows.groupby("__bkt__").map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby("__pbkt__").map_groups(distinct_pairs,
-                                               batch_format="pyarrow")
+    try:
+        from openmldb_ray.context import shuffle_partitions
+        g1 = rows.groupby(
+            "__bkt__", num_partitions=shuffle_partitions(pair_buckets))
+    except TypeError:
+        g1 = rows.groupby("__bkt__")
+    cand = g1.map_groups(pairs, batch_format="pyarrow")
+    try:
+        g2 = cand.groupby(
+            "__pbkt__",
+            num_partitions=shuffle_partitions(pair_buckets))
+    except TypeError:
+        g2 = cand.groupby("__pbkt__")
+    return g2.map_groups(distinct_pairs, batch_format="pyarrow")
 
 
 def _attach_texts(cand: ray.data.Dataset, ds: ray.data.Dataset,
@@ -261,7 +272,11 @@ def minhash_duplicate_pairs(
                              shingle_k),
         concurrency=concurrency or pool_concurrency())
     cand = _candidate_pairs(bands, id_col, ["band_id", "band_hash"])
-    withtext = _attach_texts(cand, ds, text_col, id_col)
+    # candidates are rare by design: a compact join (16 buckets)
+    # avoids two full-size aggregator pools; raise for corpora where
+    # near-dup density is high
+    withtext = _attach_texts(cand, ds, text_col, id_col,
+                             num_buckets=16)
     return withtext.map_batches(
         _JaccardVerify, batch_format="pyarrow", batch_size=4096,
         fn_constructor_args=(shingle_k, jaccard_threshold),
@@ -330,7 +345,11 @@ def ngram_jaccard_pairs(
         fn_constructor_args=(text_col, id_col, shingle_k, band_sample),
         concurrency=concurrency or pool_concurrency())
     cand = _candidate_pairs(anc, id_col, ["anchor"])
-    withtext = _attach_texts(cand, ds, text_col, id_col)
+    # candidates are rare by design: a compact join (16 buckets)
+    # avoids two full-size aggregator pools; raise for corpora where
+    # near-dup density is high
+    withtext = _attach_texts(cand, ds, text_col, id_col,
+                             num_buckets=16)
     return withtext.map_batches(
         _JaccardVerify, batch_format="pyarrow", batch_size=4096,
         fn_constructor_args=(shingle_k, threshold),

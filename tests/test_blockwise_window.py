@@ -185,6 +185,50 @@ def test_sql_presorted_flag(ray_session):
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+@pytest.mark.parametrize("seed", [31, 47, 59])
+def test_random_specs_match_shuffle_plan(ray_session, seed):
+    """Property: random frame kinds / depths / modifiers / agg mixes
+    evaluate identically on both plans (or refuse)."""
+    from openmldb_ray.skew import _NotPresorted
+    from openmldb_ray.window.blockwise import blockwise_window_agg
+    from openmldb_ray.window.runner import window_agg_multi
+    rng = np.random.default_rng(seed)
+    df = _events(n=int(rng.integers(2000, 5000)),
+                 users=int(rng.integers(2, 9)), seed=seed)
+    specs = []
+    for si in range(int(rng.integers(1, 3))):
+        kind = rng.choice(["rows", "range", "both"])
+        kw = {}
+        if kind in ("rows", "both"):
+            kw["preceding_rows"] = int(rng.integers(1, 60))
+        if kind in ("range", "both"):
+            kw["preceding_range"] = int(rng.integers(500, 80_000))
+        if rng.random() < 0.3:
+            kw["max_size"] = int(rng.integers(2, 12))
+        if rng.random() < 0.3:
+            kw["exclude_current_time"] = True
+        aggs = [Agg("sum", "v", f"s{si}"), Agg("count", None, f"n{si}")]
+        if rng.random() < 0.5:
+            aggs.append(Agg("min", "v", f"mn{si}"))
+        if rng.random() < 0.4:
+            aggs.append(Agg("distinct_count", "cat", f"dc{si}"))
+        specs.append((WindowSpec("user", "ts", **kw), aggs))
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=int(rng.integers(300, 1200))) \
+        .materialize()
+    pt = ["eid", "user", "ts", "v", "cat"]
+    base = window_agg_multi(ds, specs, passthrough=pt,
+                            num_buckets=4).to_pandas()
+    try:
+        got = blockwise_window_agg(ds, specs,
+                                   passthrough=pt).to_pandas()
+    except _NotPresorted:
+        return  # refusal is a correct outcome
+    _cmp(base, got, key=("eid",))
+
+
 def test_sql_skew_opt_flag(ray_session):
     """sql(..., skew_opt=True) = the reference's
     openmldb.window.skew.opt: identical results on a skewed table

@@ -124,20 +124,35 @@ def bench_long_window_preagg() -> tuple[float, int]:
 
     n, width, rng_w = 2_000_000, 10_000, 1_000_000
     rng = np.random.default_rng(5)
-    hist = pa.table({
-        "k": pa.array(np.repeat("hot", n)),
-        "ts": pa.array(np.sort(rng.integers(0, 20_000_000, n)),
-                       type=pa.int64()),
-        "v": pa.array(rng.integers(0, 1000, n).astype(np.float64)),
-    })
+
+    # deterministic row i -> (ts, v): generated in READ TASKS for the
+    # distributed build (shipping a driver-built 2M-row table through
+    # ray.put costs seconds on a slow driver plasma client) and
+    # locally for the serving store's history (the online tablet
+    # analog holds its segment locally)
+    def _cols(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = (i.astype(np.uint64) * np.uint64(2654435761)) % (1 << 32)
+        return (i * 10 + (h % 10).astype(np.int64),
+                (h % 1000).astype(np.float64))
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts, v = _cols(i)
+        return pa.table({"k": pa.array(np.repeat("hot", len(i))),
+                         "ts": pa.array(ts), "v": pa.array(v)})
+
+    all_ts, all_v = _cols(np.arange(n, dtype=np.int64))
+    hist = pa.table({"k": pa.array(np.repeat("hot", n)),
+                     "ts": pa.array(all_ts), "v": pa.array(all_v)})
     aggs = [Agg("sum", "v", "s"), Agg("count", None, "n"),
             Agg("min", "v", "mn"), Agg("max", "v", "mx")]
     spec = WindowSpec("k", "ts", preceding_range=rng_w)
     reqs = [{"k": "hot", "ts": int(t), "v": 1.0}
-            for t in rng.integers(rng_w, 20_000_000, 2000)]
+            for t in rng.integers(rng_w, n * 10, 2000)]
 
     t0 = time.time()
-    ds = ray.data.from_arrow(hist).repartition(32)
+    ds = ray.data.range(n, override_num_blocks=32).map_batches(
+        gen, batch_format="pyarrow")
     preagg = build_preagg(ds, "k", "ts", "v", width)
     store = LongWindowStore(preagg, hist, "k", "ts", "v", width)
     for r in reqs:

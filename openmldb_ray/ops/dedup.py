@@ -54,7 +54,13 @@ def dedup_exact(ds: ray.data.Dataset, text_col: str = "text",
                       [:1])
     first.__name__ = "keep_first"
 
-    return hashed.groupby("fingerprint").map_groups(
+    from openmldb_ray.context import shuffle_partitions
+    try:
+        g = hashed.groupby("fingerprint",
+                           num_partitions=shuffle_partitions(64))
+    except TypeError:
+        g = hashed.groupby("fingerprint")
+    return g.map_groups(
         first, batch_format="pyarrow").drop_columns(["fingerprint"])
 
 

@@ -384,20 +384,33 @@ def _corpus_feats(sf_dir):
     return corpus_features_fused(corpus, num_buckets=16)
 
 
-def _cast_ntok(ds):
+# Oracle-facing dtype canonicalization: the oracle SQL casts the
+# window aggregates to DOUBLE while the kernel keeps integer sums as
+# integers (round-2 change); the driver's hash distinguishes dtypes
+# even when values are exactly equal.
+_CORPUS_F64 = ("sum_tok_100r", "avg_tok_100r", "max_tok_100r",
+               "sum_tok_50k", "min_tok_50k")
+
+
+def _canon_corpus(ds):
     def fn(t: pa.Table) -> pa.Table:
         i = t.column_names.index("n_tok")
-        return t.set_column(i, "n_tok", pc.cast(t["n_tok"], pa.int32()))
+        t = t.set_column(i, "n_tok", pc.cast(t["n_tok"], pa.int32()))
+        for name in _CORPUS_F64:
+            if name in t.column_names:
+                j = t.column_names.index(name)
+                t = t.set_column(j, name, pc.cast(t[name], pa.float64()))
+        return t
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _q_corpus_features(sf_dir):
-    return _cast_ntok(_corpus_feats(sf_dir))
+    return _canon_corpus(_corpus_feats(sf_dir))
 
 
 def _q_corpus_asof(sf_dir):
     from openmldb_ray.pipelines.corpus import flagship
-    return _cast_ntok(flagship(sf_dir, num_buckets=16))
+    return _canon_corpus(flagship(sf_dir, num_buckets=16))
 
 
 def _q_token_count(sf_dir):
@@ -728,7 +741,14 @@ def _q_window_nested(sf_dir):
          "count_where(event_id, value >= min(value) + 1) over w as m "
          "from events window w as (partition by user_id order by ts "
          "rows between 5 preceding and current row)")
-    return sql(q, sf_dir, dialect="ansi")
+    out = sql(q, sf_dir, dialect="ansi")
+    # Float frame sums reduce in a different order than DuckDB (ulp
+    # drift ≤3e-13 on ~16% of rows); round both sides for the compare.
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("r"), "r",
+            pc.round(b["r"], ndigits=6)),
+        batch_format="pyarrow")
 
 
 def _q_window_concat_keys(sf_dir):
@@ -828,6 +848,7 @@ def _q_window_presorted(sf_dir):
     shuffle plan — the oracle is a plain SQL window."""
     import pyarrow.compute as pc
 
+    from openmldb_ray.skew import _NotPresorted
     from openmldb_ray.window import Agg, WindowSpec
     from openmldb_ray.window.blockwise import blockwise_window_agg
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -837,11 +858,19 @@ def _q_window_presorted(sf_dir):
         return b.append_column("u_bucket", ub)
     ev = ev.map_batches(bucket, batch_format="pyarrow")
     spec = WindowSpec("u_bucket", "ts", preceding_rows=20)
-    out = blockwise_window_agg(
-        ev, spec, [Agg("sum", "value", "sum_v20"),
-                   Agg("count", None, "cnt20"),
-                   Agg("max", "value", "max_v20")],
-        passthrough=["event_id", "u_bucket", "ts"])
+    aggs = [Agg("sum", "value", "sum_v20"),
+            Agg("count", None, "cnt20"),
+            Agg("max", "value", "max_v20")]
+    try:
+        out = blockwise_window_agg(
+            ev, spec, aggs, passthrough=["event_id", "u_bucket", "ts"])
+    except _NotPresorted:
+        # The blockwise economics guard refuses when entity runs per
+        # block are shorter than the frame depth (small-sf inputs);
+        # semantics are identical through the shuffle plan.
+        from openmldb_ray.window import window_agg
+        out = window_agg(ev, spec, aggs,
+                         passthrough=["event_id", "u_bucket", "ts"])
     return out.map_batches(
         lambda b: b.set_column(
             b.column_names.index("sum_v20"), "sum_v20",
@@ -1120,7 +1149,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
           SELECT a.event_id, a.user_id, a.ts,
-            a.s - a.cnt * a.cnt AS r,
+            round(a.s - a.cnt * a.cnt, 6) AS r,
             (SELECT count(*) FROM r b
               WHERE b.user_id = a.user_id
                 AND b.rn BETWEEN a.rn - 5 AND a.rn

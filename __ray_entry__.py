@@ -64,23 +64,22 @@ def _q_window_range(sf_dir):
                       passthrough=["event_id", "user_id", "ts"])
 
 
-def _q_window_rows_between(sf_dir):
-    from openmldb_ray.window import Agg, WindowSpec, window_agg
+def _q_window_between(sf_dir):
+    """Both BETWEEN end-offset frame shapes (`n PRECEDING AND m
+    PRECEDING`, rows and time-range) in ONE query — same partition key,
+    so window_agg_concat fuses them into a single shuffle."""
+    from openmldb_ray.window import Agg, WindowSpec, window_agg_concat
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    spec = WindowSpec("user_id", "ts", preceding_rows=8, end_offset_rows=2)
-    return window_agg(ev, spec, [Agg("sum", "value", "s"),
-                                 Agg("count", None, "n")],
-                      passthrough=["event_id", "user_id", "ts"])
-
-
-def _q_window_range_between(sf_dir):
-    from openmldb_ray.window import Agg, WindowSpec, window_agg
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    spec = WindowSpec("user_id", "ts", preceding_range=2 * HOUR_US,
-                      end_offset_range=30 * MIN_US)
-    return window_agg(ev, spec, [Agg("sum", "value", "s"),
-                                 Agg("count", None, "n")],
-                      passthrough=["event_id", "user_id", "ts"])
+    rows_spec = WindowSpec("user_id", "ts", preceding_rows=8,
+                           end_offset_rows=2)
+    rng_spec = WindowSpec("user_id", "ts", preceding_range=2 * HOUR_US,
+                          end_offset_range=30 * MIN_US)
+    return window_agg_concat(
+        ev, [(rows_spec, [Agg("sum", "value", "s_r"),
+                          Agg("count", None, "n_r")]),
+             (rng_spec, [Agg("sum", "value", "s_t"),
+                         Agg("count", None, "n_t")])],
+        passthrough=["event_id", "user_id", "ts"])
 
 
 def _q_window_where(sf_dir):
@@ -312,12 +311,15 @@ def _q_left_join(sf_dir):
 
 
 def _q_scalar_string_math(sf_dir):
+    """Scalar battery in one projection: string funcs, LIKE match,
+    math/log family, rounding and null handling."""
     from openmldb_ray.functions import scalar as F
     p = _read(sf_dir, "part",
               ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
                "p_retailprice"])
 
     def fn(t: pa.Table) -> pa.Table:
+        size_d = pc.cast(t["p_size"], pa.float64())
         return pa.table({
             "p_partkey": t["p_partkey"],
             "name_up": F.upper(t["p_name"]),
@@ -329,20 +331,6 @@ def _q_scalar_string_math(sf_dir):
             "price_r": F.round_(t["p_retailprice"], ndigits=0,
                                 round_mode="half_towards_infinity"),
             "brand_type": F.concat_ws("-", t["p_brand"], t["p_type"]),
-        })
-    return p.map_batches(fn, batch_format="pyarrow")
-
-
-def _q_scalar_more(sf_dir):
-    """Second scalar batch: LIKE match, math/log family, null handling."""
-    from openmldb_ray.functions import scalar as F
-    p = _read(sf_dir, "part",
-              ["p_partkey", "p_name", "p_type", "p_size", "p_retailprice"])
-
-    def fn(t: pa.Table) -> pa.Table:
-        size_d = pc.cast(t["p_size"], pa.float64())
-        return pa.table({
-            "p_partkey": t["p_partkey"],
             "is_brass": F.like_match(t["p_name"], "%brass%"),
             "price_ln": F.ln(t["p_retailprice"]),
             "price_log10": F.log10(t["p_retailprice"]),
@@ -478,20 +466,16 @@ def _q_dedup_exact(sf_dir):
     return out.select_columns(["doc_id", "source"])
 
 
-def _q_langid(sf_dir):
-    from openmldb_ray.ops.text import LangId, with_text_features
+def _q_langid_fingerprint(sf_dir):
+    """Language-ID heuristic + rolling-hash document fingerprint in one
+    text-features pass (rows-only: neither is SQL-expressible)."""
+    from openmldb_ray.ops.text import Fingerprint, LangId, with_text_features
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return with_text_features(docs, [LangId]).select_columns(
-        ["doc_id", "lang_pred"])
-
-
-def _q_fingerprint(sf_dir):
-    from openmldb_ray.ops.text import Fingerprint, with_text_features
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = with_text_features(docs, [Fingerprint])
+    out = with_text_features(docs, [LangId, Fingerprint])
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": t["lang_pred"],
                          "fingerprint": pc.cast(
                              pc.bit_wise_and(t["fingerprint"],
                                              np.uint64((1 << 63) - 1)),
@@ -524,11 +508,24 @@ def _q_ann_bruteforce(sf_dir):
     return out.map_batches(fn, batch_format="pyarrow")
 
 
-def _q_ann_lsh(sf_dir):
-    from openmldb_ray.ops.ann import knn_lsh
+def _q_ann_approx(sf_dir):
+    """Both approximate-kNN paths (LSH-bucketed and IVF/nprobe) in one
+    entry, tagged by method (rows-only: approx recall has no SQL
+    oracle; recall-vs-exact is pytest-covered in tests/test_ann.py)."""
+    from openmldb_ray.ops.ann import knn_ivf, knn_lsh
     qids, qm = _ann_queries(sf_dir)
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_lsh(emb, qm, qids, k=10)
+    lsh = knn_lsh(emb, qm, qids, k=10)
+    ivf = knn_ivf(emb, qm, qids, k=10, num_clusters=8, nprobe=3)
+
+    def tag(method):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "method", pa.array([method] * len(t), pa.string()))
+        fn.__name__ = f"tag_{method}"
+        return fn
+    return lsh.map_batches(tag("lsh"), batch_format="pyarrow").union(
+        ivf.map_batches(tag("ivf"), batch_format="pyarrow"))
 
 
 def _q_ngram_jaccard(sf_dir):
@@ -550,13 +547,6 @@ def _q_embedding_dups(sf_dir):
     return out.map_batches(fn, batch_format="pyarrow")
 
 
-def _q_ann_ivf(sf_dir):
-    from openmldb_ray.ops.ann import knn_ivf
-    qids, qm = _ann_queries(sf_dir)
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_ivf(emb, qm, qids, k=10, num_clusters=8, nprobe=3)
-
-
 def _q_minhash_pairs(sf_dir):
     from openmldb_ray.ops.dedup import minhash_duplicate_pairs
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -575,24 +565,11 @@ def _q_minhash_dedup(sf_dir):
 
 def _q_simhash_pairs(sf_dir):
     """SimHash near-dup pairs via the 4x16-bit table split (rows-only;
-    FNV bit votes are not SQL-expressible)."""
+    FNV bit votes are not SQL-expressible). Exercises the signature
+    stage internally; signatures themselves are pytest-covered."""
     from openmldb_ray.ops.dedup import simhash_duplicate_pairs
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_duplicate_pairs(docs, max_hamming=8)
-
-
-def _q_simhash(sf_dir):
-    from openmldb_ray.ops.dedup import simhash_signatures
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_signatures(docs)
-
-    def fn(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "simhash": pc.cast(
-                             pc.bit_wise_and(t["simhash"],
-                                             np.uint64((1 << 63) - 1)),
-                             pa.int64())})
-    return out.map_batches(fn, batch_format="pyarrow")
 
 
 def _q_multimodal_decode(sf_dir):
@@ -607,19 +584,6 @@ def _q_multimodal_decode(sf_dir):
     media = docs.map_batches(to_binary, batch_format="pyarrow")
     out = decode_stage(media, batch_size=256)
     return out.select_columns(["doc_id", "payload_bytes"])
-
-
-def _q_window_ect(sf_dir):
-    """EXCLUDE CURRENT_TIME path; events ts are unique per user so the
-    result equals the plain window — a confirming oracle for the ECT
-    code path (tie behavior itself is covered by YAML goldens)."""
-    from openmldb_ray.window import Agg, WindowSpec, window_agg
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US,
-                      exclude_current_time=True)
-    return window_agg(ev, spec, [Agg("sum", "value", "s"),
-                                 Agg("count", None, "n")],
-                      passthrough=["event_id", "user_id", "ts"])
 
 
 def _q_window_ect_ties(sf_dir):
@@ -701,33 +665,26 @@ def _q_window_at(sf_dir):
 
 
 def _q_window_salted(sf_dir):
-    """Quantile-salted window path (hot threshold forced low so every
-    user is 'hot') — must match the plain-window SQL oracle exactly."""
-    from openmldb_ray.skew import salted_window_agg
-    from openmldb_ray.window import Agg, WindowSpec
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    spec = WindowSpec("user_id", "ts", preceding_range=HOUR_US)
-    return salted_window_agg(ev, spec,
-                             [Agg("sum", "value", "s"),
-                              Agg("count", None, "n")],
-                             passthrough=["event_id", "user_id", "ts"],
-                             hot_frac=0.001, min_rows=10, parts=4)
-
-
-def _q_window_salted_rows(sf_dir):
-    """Count-based (ROWS) frame through the salting path (hot threshold
-    forced low so every user is 'hot') — must match the plain-window
+    """Quantile-salted window path, BOTH frame shapes (time-range and
+    count/ROWS) in one entry (hot threshold forced low so every user is
+    'hot'; outputs joined on event_id) — must match the plain-window
     SQL oracle exactly."""
+    from openmldb_ray.joins.hash_join import hash_join
     from openmldb_ray.skew import salted_window_agg
     from openmldb_ray.window import Agg, WindowSpec
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    spec = WindowSpec("user_id", "ts", preceding_rows=20)
-    return salted_window_agg(ev, spec,
-                             [Agg("sum", "value", "s"),
-                              Agg("count", None, "n"),
-                              Agg("min", "value", "mn")],
-                             passthrough=["event_id", "user_id", "ts"],
-                             hot_frac=0.001, min_rows=10, parts=4)
+    rng = salted_window_agg(
+        ev, WindowSpec("user_id", "ts", preceding_range=HOUR_US),
+        [Agg("sum", "value", "s_rg"), Agg("count", None, "n_rg")],
+        passthrough=["event_id", "user_id", "ts"],
+        hot_frac=0.001, min_rows=10, parts=4)
+    rows = salted_window_agg(
+        ev, WindowSpec("user_id", "ts", preceding_rows=20),
+        [Agg("sum", "value", "s_rw"), Agg("count", None, "n_rw"),
+         Agg("min", "value", "mn_rw")],
+        passthrough=["event_id"],
+        hot_frac=0.001, min_rows=10, parts=4)
+    return hash_join(rng, rows, "event_id", how="inner")
 
 
 def _q_window_nested(sf_dir):
@@ -882,16 +839,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "window_rows": _q_window_rows,
         "window_range": _q_window_range,
-        "window_rows_between": _q_window_rows_between,
-        "window_range_between": _q_window_range_between,
+        "window_between": _q_window_between,
         "window_where": _q_window_where,
         "window_union": _q_window_union,
         "window_maxsize": _q_window_maxsize,
         "window_distinct": _q_window_distinct,
         "window_at": _q_window_at,
         "window_salted": _q_window_salted,
-        "window_salted_rows": _q_window_salted_rows,
-        "window_ect": _q_window_ect,
         "window_ect_ties": _q_window_ect_ties,
         "window_open_preceding": _q_window_open_preceding,
         "window_inw": _q_window_inw,
@@ -916,7 +870,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct": _q_union_distinct,
         "scalar_string_math": _q_scalar_string_math,
         "scalar_datetime": _q_scalar_datetime,
-        "scalar_more": _q_scalar_more,
         "corpus_features": _q_corpus_features,
         "corpus_asof": _q_corpus_asof,
         "token_count": _q_token_count,
@@ -924,16 +877,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "repetition": _q_repetition,
         "corpus_clean": _q_corpus_clean,
-        "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
+        "langid_fingerprint": _q_langid_fingerprint,
         "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
+        "ann_approx": _q_ann_approx,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "embedding_dups": _q_embedding_dups,
         "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "multimodal_decode": _q_multimodal_decode,
     }
@@ -1012,19 +962,17 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                        AND CURRENT ROW)""",
-        "window_rows_between": """
-          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
-                 count(*) OVER w AS n
+        "window_between": """
+          SELECT event_id, user_id, ts,
+                 sum(value) OVER wr AS s_r, count(*) OVER wr AS n_r,
+                 sum(value) OVER wt AS s_t, count(*) OVER wt AS n_t
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 8 PRECEDING AND 2 PRECEDING)""",
-        "window_range_between": """
-          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
-                 count(*) OVER w AS n
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                       RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
-                       AND INTERVAL 30 MINUTE PRECEDING)""",
+          WINDOW
+            wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 8 PRECEDING AND 2 PRECEDING),
+            wt AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                   AND INTERVAL 30 MINUTE PRECEDING)""",
         "window_where": """
           SELECT event_id, user_id, ts,
             sum(CASE WHEN value > 50 THEN value END) OVER w AS sw,
@@ -1036,18 +984,17 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
         "window_salted": """
-          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
-                 count(*) OVER w AS n
+          SELECT event_id, user_id, ts,
+                 sum(value) OVER wrg AS s_rg, count(*) OVER wrg AS n_rg,
+                 sum(value) OVER wrw AS s_rw, count(*) OVER wrw AS n_rw,
+                 min(value) OVER wrw AS mn_rw
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                       AND CURRENT ROW)""",
-        "window_salted_rows": """
-          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
-                 count(*) OVER w AS n, min(value) OVER w AS mn
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""",
+          WINDOW
+            wrg AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                    AND CURRENT ROW),
+            wrw AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""",
         "window_maxsize": """
           SELECT e.event_id, e.user_id, e.ts,
             (SELECT sum(value) FROM (
@@ -1077,13 +1024,6 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY ts DESC LIMIT 1 OFFSET 2) AS at2,
             value AS fv
           FROM events e""",
-        "window_ect": """
-          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
-                 count(*) OVER w AS n
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                       AND CURRENT ROW)""",
         "window_ect_ties": """
           WITH b AS (
             SELECT event_id, user_id,
@@ -1239,10 +1179,7 @@ def oracle_sql() -> dict[str, str]:
                  length(p_type) AS type_len,
                  CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
                  round(p_retailprice, 0) AS price_r,
-                 p_brand || '-' || p_type AS brand_type
-          FROM part""",
-        "scalar_more": """
-          SELECT p_partkey,
+                 p_brand || '-' || p_type AS brand_type,
                  p_name LIKE '%brass%' AS is_brass,
                  ln(p_retailprice) AS price_ln,
                  log10(p_retailprice) AS price_log10,
@@ -1367,7 +1304,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
           SELECT query_id, vec_id, rank, round(sim, 4) AS sim_r
           FROM ranked WHERE rank <= 10""",
-        # window_maxsize, langid, fingerprint, ann_lsh, minhash_pairs,
-        # simhash: non-ANSI-SQL-expressible (MAXSIZE frame cap, heuristic
-        # model, FNV hashing, LSH) -> rows-only checks.
+        # window_maxsize, langid_fingerprint, ann_approx, minhash_pairs,
+        # simhash_pairs: non-ANSI-SQL-expressible (MAXSIZE frame cap,
+        # heuristic model, FNV hashing, LSH) -> rows-only checks.
     }

@@ -15,20 +15,18 @@ SF = "/root/testdata/sf0.001"
 
 # oracle entries whose SQL is inside the supported subset
 VERBATIM = [
-    "window_rows", "window_range", "window_rows_between",
-    "window_range_between", "window_where", "window_ect",
+    "window_rows", "window_range", "window_between", "window_where",
     # window_inw's oracle is now a correlated subquery (INW semantics
     # need union-only frames, not expressible as a plain SQL window);
     # INW through sql() is covered by test_window_union.yaml 13/16/19-2
     "window_open_preceding", "window_union",
-    "window_salted", "window_salted_rows", "lag_lead",
+    "window_salted", "lag_lead",
     "filter_project", "sort_limit", "distinct", "left_join",
     # scalar_datetime dropped: its oracle uses DuckDB's dayofweek
     # (Sunday=0, so the SQL says dayofweek(ts)+1) while this engine's
     # dayofweek follows the reference (Sunday=1) — the same string
     # cannot produce equal values under both engines
     "last_join_asof", "last_join_unique", "scalar_string_math",
-    "scalar_more",
 ]
 
 

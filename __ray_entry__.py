@@ -573,17 +573,30 @@ def _q_simhash_pairs(sf_dir):
 
 
 def _q_multimodal_decode(sf_dir):
-    from openmldb_ray.ops.multimodal import decode_stage
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    """Real container-metadata decode: deterministic mixed-modality
+    payloads (valid PNG / RIFF-WAV / JPEG bytes keyed by doc_id) parsed
+    back by the stdlib header kernel in an actor-pool stage. The oracle
+    mirrors the synth formulas arithmetically — synth and parse are
+    independent code paths, so an error in either breaks the match."""
+    from openmldb_ray.ops.multimodal import HeaderDecoder, SynthMedia, \
+        decode_stage
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    media = docs.map_batches(SynthMedia, batch_format="pyarrow",
+                             batch_size=1024, concurrency=2)
+    out = decode_stage(media, decoder_cls=HeaderDecoder, batch_size=256)
 
-    def to_binary(t: pa.Table) -> pa.Table:
-        payload = pc.cast(t["text"], pa.binary())
-        return pa.table({"media_id": pc.cast(t["doc_id"], pa.string()),
-                         "doc_id": t["doc_id"],
-                         "payload": payload})
-    media = docs.map_batches(to_binary, batch_format="pyarrow")
-    out = decode_stage(media, batch_size=256)
-    return out.select_columns(["doc_id", "payload_bytes"])
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "media_type": t["media_type"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "channels": pc.cast(t["channels"], pa.int64()),
+            "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+            "duration_ms": pc.round(t["duration_ms"], ndigits=6),
+            "payload_bytes": t["payload_bytes"],
+        })
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_window_ect_ties(sf_dir):
@@ -1281,7 +1294,23 @@ def oracle_sql() -> dict[str, str]:
           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
         "multimodal_decode": """
           SELECT doc_id,
-                 CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+            CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                 WHEN 1 THEN 'audio/wav' ELSE 'image/jpeg' END
+              AS media_type,
+            CASE doc_id % 3 WHEN 0 THEN doc_id % 61 + 1
+                 WHEN 2 THEN doc_id % 127 + 1 END AS width,
+            CASE doc_id % 3 WHEN 0 THEN doc_id % 37 + 1
+                 WHEN 2 THEN doc_id % 83 + 1 END AS height,
+            CASE doc_id % 3 WHEN 1 THEN doc_id % 2 + 1 END AS channels,
+            CASE doc_id % 3 WHEN 1 THEN 8000 * (doc_id % 4 + 1) END
+              AS sample_rate,
+            CASE doc_id % 3 WHEN 1 THEN round(
+              (doc_id % 500 + 1) * 1000.0 / (8000 * (doc_id % 4 + 1)), 6)
+              END AS duration_ms,
+            CASE doc_id % 3
+              WHEN 0 THEN (doc_id % 37 + 1) * (doc_id % 61 + 2) + 68
+              WHEN 1 THEN 44 + 2 * (doc_id % 500 + 1) * (doc_id % 2 + 1)
+              ELSE 35 END AS payload_bytes
           FROM documents""",
         "embedding_dups": """
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -794,6 +794,25 @@ _UNION_DISTINCT_SQL = """
   SELECT n_regionkey AS rk FROM nation WHERE n_nationkey < 3"""
 
 
+_APPROX_AGG_SQL = """
+  SELECT user_id,
+         percentile_approx(value, 0.5) AS p50,
+         percentile_approx(value, 0.9) AS p90,
+         approx_count_distinct(event_type) AS adc,
+         count(*) AS n
+  FROM events GROUP BY user_id"""
+
+
+def _q_approx_agg(sf_dir):
+    """percentile_approx + approx_count_distinct UDAFs (reference
+    java/openmldb-batch udf/PercentileApprox.scala) through the SQL
+    front end. Both sketches are exact below capacity (4096), so the
+    exact-SQL oracle matches at driver scale; the approximate regime
+    above capacity is pytest-covered (tests/test_sketches.py)."""
+    from openmldb_ray.sql import sql
+    return sql(_APPROX_AGG_SQL, sf_dir, dialect="ansi")
+
+
 def _q_union_all(sf_dir):
     """UNION ALL set operation through the SQL front end (reference
     parser surface cases/plan/union_query.yaml; positional alignment,
@@ -875,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_join_orderby": _q_last_join_orderby,
         "groupby_agg": _q_groupby_agg,
         "groupby_agg_partial": _q_groupby_agg_partial,
+        "approx_agg": _q_approx_agg,
         "filter_project": _q_filter_project,
         "sort_limit": _q_sort_limit,
         "distinct": _q_distinct,
@@ -1169,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
         # side (float sums reduce in nondeterministic order otherwise)
         "groupby_agg_partial": _TPCH_Q1_EXACT_SQL,
         "groupby_agg": _TPCH_Q1_EXACT_SQL,
+        # sketches are exact below capacity, so the oracle is exact SQL
+        "approx_agg": """
+          SELECT user_id,
+                 quantile_disc(value, 0.5) AS p50,
+                 quantile_disc(value, 0.9) AS p90,
+                 count(DISTINCT event_type) AS adc,
+                 count(*) AS n
+          FROM events GROUP BY user_id""",
         "filter_project": """
           SELECT l_orderkey, l_linenumber,
                  l_extendedprice * (1 - l_discount) AS revenue,

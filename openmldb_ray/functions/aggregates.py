@@ -20,17 +20,23 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import numpy as np
 import pandas as pd
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 
+_SKETCH_KINDS = frozenset({"percentile_approx", "approx_count_distinct"})
+
+
 def grouped_aggregate(
     ds: ray.data.Dataset,
     keys: Sequence[str],
-    aggs: Mapping[str, tuple[str, str | None]],
+    aggs: Mapping[str, tuple] ,
 ) -> ray.data.Dataset:
     keys = list(keys)
+    if any(spec[0] in _SKETCH_KINDS for spec in aggs.values()):
+        return _grouped_aggregate_sketch(ds, keys, aggs)
     # columns needed for partials: every mean needs sum+count parts
     plan: dict[str, tuple[str, str | None]] = {}
     finals: dict[str, tuple[str, ...]] = {}
@@ -91,6 +97,94 @@ def grouped_aggregate(
         return out
 
     return reduced.map_batches(finalize, batch_format="pandas")
+
+
+def _grouped_aggregate_sketch(
+    ds: ray.data.Dataset,
+    keys: list,
+    aggs: Mapping[str, tuple],
+) -> ray.data.Dataset:
+    """Mixed exact + sketch aggregation. Map side folds each batch into
+    one partial ROW per key (sums/counts/min/max as scalars, sketches
+    as Arrow binary), so the shuffle moves #keys x #blocks sketch rows,
+    never raw rows; the reduce is a groupby().map_groups merge over the
+    handful of partials per key. Sketches are exact below capacity —
+    see functions/sketches.py for the error model above it.
+
+    Reference surface: percentile_approx / approx_count_distinct
+    (java/openmldb-batch udf/PercentileApprox.scala; the skew optimizer
+    utils/SkewDataFrameUtils.scala:40-43 consumes the same partials).
+    """
+    import pyarrow as pa
+
+    from openmldb_ray.functions.sketches import (HLLSketch, QuantileSketch,
+                                                 hash_column)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, sort=False, dropna=False)
+        cols: dict = {}
+        for out, spec in aggs.items():
+            kind, col = spec[0], spec[1]
+            if kind == "mean":
+                cols[f"__{out}_s"] = g[col].sum()
+                cols[f"__{out}_c"] = g[col].count()
+            elif kind == "count":
+                cols[f"__{out}_c"] = (g.size() if col is None
+                                      else g[col].count())
+            elif kind == "sum":
+                cols[f"__{out}_p"] = g[col].sum()
+                cols[f"__{out}_c"] = g[col].count()
+            elif kind in ("min", "max"):
+                cols[f"__{out}_p"] = getattr(g[col], kind)()
+            elif kind == "percentile_approx":
+                def qsk(s: pd.Series) -> bytes:
+                    sk = QuantileSketch()
+                    sk.add(s.to_numpy(dtype=np.float64, na_value=np.nan))
+                    return sk.to_bytes()
+                cols[f"__{out}_k"] = g[col].apply(qsk)
+            elif kind == "approx_count_distinct":
+                def hsk(s: pd.Series) -> bytes:
+                    sk = HLLSketch()
+                    sk.add_hashes(hash_column(pa.array(s)))
+                    return sk.to_bytes()
+                cols[f"__{out}_k"] = g[col].apply(hsk)
+            else:
+                raise ValueError(f"unsupported aggregate kind {kind}")
+        return pd.DataFrame(cols).reset_index()
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        out = grp[keys].iloc[:1].reset_index(drop=True)
+        for name, spec in aggs.items():
+            kind = spec[0]
+            if kind == "mean":
+                c = grp[f"__{name}_c"].sum()
+                out[name] = (grp[f"__{name}_s"].sum() / c if c > 0
+                             else np.nan)
+            elif kind == "count":
+                out[name] = np.int64(grp[f"__{name}_c"].sum())
+            elif kind == "sum":
+                c = grp[f"__{name}_c"].sum()
+                out[name] = (grp[f"__{name}_p"].sum() if c > 0
+                             else np.nan)
+            elif kind in ("min", "max"):
+                out[name] = getattr(grp[f"__{name}_p"], kind)()
+            elif kind == "percentile_approx":
+                sk = QuantileSketch.from_bytes(grp[f"__{name}_k"].iloc[0])
+                for b in grp[f"__{name}_k"].iloc[1:]:
+                    sk.merge(QuantileSketch.from_bytes(b))
+                out[name] = sk.quantile(spec[2])
+            else:
+                sk = HLLSketch.from_bytes(grp[f"__{name}_k"].iloc[0])
+                for b in grp[f"__{name}_k"].iloc[1:]:
+                    sk.merge(HLLSketch.from_bytes(b))
+                out[name] = np.int64(sk.estimate())
+        return out
+    merge.__name__ = "sketch_merge"
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+    return partials.groupby(keys[0] if len(keys) == 1 else keys) \
+        .map_groups(merge, batch_format="pandas")
 
 
 def distinct(ds: ray.data.Dataset,

@@ -32,7 +32,9 @@ _UNBOUNDED_ROWS = 1 << 40
 _UNBOUNDED_RANGE = 1 << 60
 
 _GROUP_AGGS = {"sum": "sum", "count": "count", "avg": "mean",
-               "mean": "mean", "min": "min", "max": "max"}
+               "mean": "mean", "min": "min", "max": "max",
+               "percentile_approx": "percentile_approx",
+               "approx_count_distinct": "approx_count_distinct"}
 
 # window funcs: SQL name -> kernel func (k-arg funcs handled inline)
 _WIN_DIRECT = {"sum", "count", "min", "max", "avg", "row_number",
@@ -1113,7 +1115,14 @@ class Planner:
             else:
                 col = self._name("ga")
                 derived[col] = a
-            plan[nm] = (kind, col)
+            if fn.name == "percentile_approx":
+                # second arg: the quantile fraction, a literal
+                if len(fn.args) != 2 or not isinstance(fn.args[1], Lit):
+                    raise ValueError(
+                        "percentile_approx(col, q) needs a literal q")
+                plan[nm] = (kind, col, float(fn.args[1].val))
+            else:
+                plan[nm] = (kind, col)
         if not keys:
             # global aggregate: one output row — synthesize a constant
             # group key (the partial-combine path still applies)

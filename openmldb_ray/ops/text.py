@@ -28,18 +28,125 @@ _STOP_ES = {"el", "la", "los", "las", "y", "es", "un", "una", "no", "por"}
 
 class TokenCount:
     """whitespace token count + a BPE-ish sub-word estimate
-    (words + extra splits at case/digit/punct boundaries)."""
+    (words + extra splits at case/digit/punct boundaries).
+
+    The sub-word count is the number of matches of
+    ``[A-Z][a-z]+|[a-z]+|[A-Z]+(?![a-z])|\\d+|[^\\sA-Za-z0-9]`` —
+    computed WITHOUT running the regex: a match count equals a
+    token-START count, and every start is a character-class transition
+    (new digit run, new upper run, upper->lower camel split, lower not
+    preceded by a letter, any punct char). The kernel runs over the
+    raw UTF-8 byte buffer of the Arrow string column — zero-copy, no
+    decode: ASCII classes are byte compares, continuation bytes are
+    skipped, multi-byte chars classify as punct except the 17
+    multi-byte whitespace codepoints, matched by lead-byte pattern.
+    The same pass yields the whitespace word count. Equality with the
+    regex / str.split is pytest-verified (tests/test_text_ops.py)."""
+
+    ARROW_OK = True
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.bpe_re = re.compile(
-            r"[A-Z][a-z]+|[a-z]+|[A-Z]+(?![a-z])|\d+|[^\sA-Za-z0-9]")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_col].fillna("")
-        batch["n_words"] = s.str.split().str.len().astype("int64")
-        batch["n_bpe_tokens"] = s.map(
-            lambda t: len(self.bpe_re.findall(t))).astype("int64")
+    @staticmethod
+    def _counts_from_bytes(b: np.ndarray, offs: np.ndarray):
+        """(n_words, n_bpe_tokens) per row from the flat UTF-8 buffer
+        ``b`` and per-row byte offsets ``offs`` (len = rows + 1)."""
+        nrows = len(offs) - 1
+        if len(b) == 0:
+            z = np.zeros(nrows, dtype=np.int64)
+            return z, z.copy()
+        isU = (b >= 65) & (b <= 90)
+        isl = (b >= 97) & (b <= 122)
+        isd = (b >= 48) & (b <= 57)
+        wsish = (b == 32) | ((b >= 9) & (b <= 13)) | ((b >= 28) & (b <= 31))
+        cont = (b >= 0x80) & (b < 0xC0)
+        n = len(b)
+        # multi-byte \s: mark lead AND continuation bytes wsish.
+        # (0xC2/0xE1/0xE2/0xE3 are lead-only values in valid UTF-8.)
+        idx = np.flatnonzero(b == 0xC2)
+        idx = idx[idx + 1 < n]
+        sel = idx[(b[idx + 1] == 0x85) | (b[idx + 1] == 0xA0)]
+        wsish[sel] = True
+        wsish[sel + 1] = True
+        for lead, check in (
+                (0xE1, lambda b1, b2: (b1 == 0x9A) & (b2 == 0x80)),
+                (0xE2, lambda b1, b2:
+                    ((b1 == 0x80) & (((b2 >= 0x80) & (b2 <= 0x8A))
+                                     | (b2 == 0xA8) | (b2 == 0xA9)
+                                     | (b2 == 0xAF)))
+                    | ((b1 == 0x81) & (b2 == 0x9F))),
+                (0xE3, lambda b1, b2: (b1 == 0x80) & (b2 == 0x80))):
+            idx = np.flatnonzero(b == lead)
+            idx = idx[idx + 2 < n]
+            sel = idx[check(b[idx + 1], b[idx + 2])]
+            wsish[sel] = True
+            wsish[sel + 1] = True
+            wsish[sel + 2] = True
+        char_start = ~cont
+        starts = np.zeros(n, dtype=bool)
+        starts[offs[:-1][offs[:-1] < n]] = True
+
+        def prev(m):
+            p = np.empty_like(m)
+            p[0] = False
+            p[1:] = m[:-1]
+            p[starts] = False
+            return p
+
+        nxt_l = np.empty_like(isl)
+        nxt_l[-1] = False
+        nxt_l[:-1] = isl[1:]
+        si = np.flatnonzero(starts)
+        si = si[si > 0]
+        nxt_l[si - 1] = False          # row ends have no next char
+        prevU, prevl, prevd = prev(isU), prev(isl), prev(isd)
+        isp = char_start & ~(isU | isl | isd | wsish)
+        token_start = (isp
+                       | (isd & ~prevd)
+                       | (isU & ~prevU)
+                       | (isU & prevU & nxt_l)
+                       | (isl & ~prevU & ~prevl))
+        word_start = char_start & ~wsish & (prev(wsish) | starts)
+        # dtype=int64 matters: numpy's bool cumsum without it is ~11x
+        # slower (per-element cast path)
+        cs_t = np.empty(n + 1, dtype=np.int64)
+        cs_t[0] = 0
+        np.cumsum(token_start, dtype=np.int64, out=cs_t[1:])
+        cs_w = np.empty(n + 1, dtype=np.int64)
+        cs_w[0] = 0
+        np.cumsum(word_start, dtype=np.int64, out=cs_w[1:])
+        return (cs_w[offs[1:]] - cs_w[offs[:-1]],
+                cs_t[offs[1:]] - cs_t[offs[:-1]])
+
+    def _counts(self, col) -> tuple[np.ndarray, np.ndarray]:
+        """Accepts an Arrow (chunked) string array or a list of str."""
+        if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = pa.array(col, pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+        col = pc.fill_null(col, "")
+        if col.type == pa.large_string():
+            odt = np.int64
+        else:
+            odt = np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=odt,
+                             count=len(col) + 1, offset=col.offset
+                             * np.dtype(odt).itemsize).astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        base = offs[0]
+        b = data[base:offs[-1]]
+        return self._counts_from_bytes(b, offs - base)
+
+    def __call__(self, batch):
+        if isinstance(batch, pa.Table):
+            nw, nb = self._counts(batch[self.text_col])
+            return (batch.append_column("n_words", pa.array(nw))
+                    .append_column("n_bpe_tokens", pa.array(nb)))
+        nw, nb = self._counts(batch[self.text_col].tolist())
+        batch["n_words"] = nw
+        batch["n_bpe_tokens"] = nb
         return batch
 
 
@@ -109,6 +216,8 @@ class Fingerprint:
     Batch-vectorized (one Arrow split + numpy segment reduction per
     batch, no per-char Python). Accepts Arrow or pandas batches."""
 
+    ARROW_OK = True
+
     def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
         self.text_col = text_col
         self.out_col = out_col
@@ -136,6 +245,8 @@ class RepetitionScore:
     bigram hashes stand in for the exact strings (collision odds at
     corpus scale ~2^-30 per batch; the DuckDB oracle compares exact
     values and agrees)."""
+
+    ARROW_OK = True
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -182,9 +293,12 @@ class RepetitionScore:
 
 def with_text_features(ds: ray.data.Dataset, stages, batch_size: int = 4096,
                        concurrency: int | None = None) -> ray.data.Dataset:
-    """Chain text stages as one actor pool each."""
+    """Chain text stages as one actor pool each. Stages that declare
+    ``ARROW_OK`` take zero-copy Arrow batches; the rest need pandas
+    ``.str`` kernels and get the (one) conversion."""
     c = concurrency or pool_concurrency()
     for cls in stages:
-        ds = ds.map_batches(cls, batch_format="pandas",
+        fmt = "pyarrow" if getattr(cls, "ARROW_OK", False) else "pandas"
+        ds = ds.map_batches(cls, batch_format=fmt,
                             batch_size=batch_size, concurrency=c)
     return ds

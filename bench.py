@@ -58,7 +58,10 @@ def bench_corpus_flagship() -> tuple[float, int]:
     # dim density: ~1 checkpoint row per 64 docs at bench scale (a
     # realistic dimension size; the broadcast index collects it)
     dim_mod = 7 if BENCH_DOCS <= 1_000_000 else 64
-    res = run_flagship(corpus, dim_modulo=dim_mod)
+    # pin=False: the input is a pruned raw parquet read — re-scanning
+    # it for the summary and eval passes is cheaper than an
+    # object-store materialize (phase A/B in BASELINE.md)
+    res = run_flagship(corpus, dim_modulo=dim_mod, pin=False)
     checkpoint(res, out, force=True)
     wall = time.time() - t0
     with open(out + "/_SUCCESS") as fh:
@@ -110,62 +113,69 @@ def bench_dedup_exact() -> tuple[float, int]:
 
 
 def bench_long_window_preagg() -> tuple[float, int]:
-    """Pre-agg long-window serving (reference aggregator.cc analog):
-    distributed bucket build over a 2M-row hot-entity history, then
-    2000 request rows answered from full buckets + edges. The raw-path
-    comparison (full window scan per request) is measured on a 100-
-    request sample and logged to stderr for BASELINE.md."""
+    """Pre-agg long-window serving (reference aggregator.cc +
+    tablet_impl.cc routing analog): distributed bucket build over a
+    2M-row 8-entity history, SHARDED store (actor per key range, 4
+    shards — no single process holds the table), then 2000 request
+    rows routed by key hash and answered from full buckets + edges.
+    The raw-path comparison (full window scan per request) is measured
+    on a 20-request sample and logged to stderr for BASELINE.md."""
     import numpy as np
     import pyarrow as pa
     import ray.data
     from openmldb_ray.request import request_features
     from openmldb_ray.window import Agg, WindowSpec
-    from openmldb_ray.window.preagg import LongWindowStore, build_preagg
+    from openmldb_ray.window.preagg import (ShardedLongWindowStore,
+                                            build_preagg)
 
-    n, width, rng_w = 2_000_000, 10_000, 1_000_000
+    n, width, rng_w, n_ent = 2_000_000, 10_000, 1_000_000, 8
     rng = np.random.default_rng(5)
 
-    # deterministic row i -> (ts, v): generated in READ TASKS for the
-    # distributed build (shipping a driver-built 2M-row table through
-    # ray.put costs seconds on a slow driver plasma client) and
-    # locally for the serving store's history (the online tablet
-    # analog holds its segment locally)
-    def _cols(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # deterministic row i -> (entity, ts, v): generated in READ TASKS
+    # for the distributed build (shipping a driver-built 2M-row table
+    # through ray.put costs seconds on a slow driver plasma client)
+    def _cols(i: np.ndarray):
         h = (i.astype(np.uint64) * np.uint64(2654435761)) % (1 << 32)
-        return (i * 10 + (h % 10).astype(np.int64),
+        ent = (h % n_ent).astype(np.int64)
+        return (ent, i * 10 + (h % 10).astype(np.int64),
                 (h % 1000).astype(np.float64))
 
     def gen(b: pa.Table) -> pa.Table:
         i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts, v = _cols(i)
-        return pa.table({"k": pa.array(np.repeat("hot", len(i))),
+        ent, ts, v = _cols(i)
+        ks = np.array([f"e{j}" for j in range(n_ent)], dtype=object)
+        return pa.table({"k": pa.array(ks[ent]),
                          "ts": pa.array(ts), "v": pa.array(v)})
 
-    all_ts, all_v = _cols(np.arange(n, dtype=np.int64))
-    hist = pa.table({"k": pa.array(np.repeat("hot", n)),
-                     "ts": pa.array(all_ts), "v": pa.array(all_v)})
     aggs = [Agg("sum", "v", "s"), Agg("count", None, "n"),
             Agg("min", "v", "mn"), Agg("max", "v", "mx")]
     spec = WindowSpec("k", "ts", preceding_range=rng_w)
-    reqs = [{"k": "hot", "ts": int(t), "v": 1.0}
-            for t in rng.integers(rng_w, n * 10, 2000)]
+    reqs = [{"k": f"e{int(e)}", "ts": int(t), "v": 1.0}
+            for e, t in zip(rng.integers(0, n_ent, 2000),
+                            rng.integers(rng_w, n * 10, 2000))]
 
     t0 = time.time()
     ds = ray.data.range(n, override_num_blocks=32).map_batches(
         gen, batch_format="pyarrow")
     preagg = build_preagg(ds, "k", "ts", "v", width)
-    store = LongWindowStore(preagg, hist, "k", "ts", "v", width)
-    for r in reqs:
-        store.features(r, spec, aggs)
+    store = ShardedLongWindowStore(preagg, ds, "k", "ts", "v", width,
+                                   n_shards=4)
+    store.features_batch(reqs, spec, aggs)
     wall = time.time() - t0
 
+    # raw-path sample: full history scan per request (one entity)
+    all_ent, all_ts, all_v = _cols(np.arange(n, dtype=np.int64))
+    m = all_ent == 0
+    hist = pa.table({"k": pa.array(np.repeat("e0", int(m.sum()))),
+                     "ts": pa.array(all_ts[m]), "v": pa.array(all_v[m])})
     t1 = time.time()
-    for r in reqs[:20]:
+    for r in [q for q in reqs if q["k"] == "e0"][:20]:
         request_features(r, hist, spec, aggs)
     raw20 = time.time() - t1
     print(f"long_window raw-path sample: {raw20:.2f}s / 20 reqs "
-          f"(preagg: {wall:.2f}s incl. build / 2000 reqs)",
+          f"(sharded preagg: {wall:.2f}s incl. build+spawn / 2000 reqs)",
           file=sys.stderr)
+    store.shutdown()
     return wall, len(reqs)
 
 

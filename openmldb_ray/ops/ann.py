@@ -204,15 +204,27 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_bits: int = 10,
+    num_bits: int | None = None,
     seed: int = 42,
+    target_bucket_rows: int = 10_000,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
     bucketing, exact pairwise cosine within each bucket, keep pairs
     with sim >= threshold (id_a < id_b). High-cosine pairs collide in
     the same bucket with probability (1 - theta/pi)^num_bits —
-    ``num_bits`` trades recall for bucket size; ``num_bits=0`` puts
-    everything in one bucket — exact all-pairs (small corpora only)."""
+    ``num_bits`` trades recall for bucket size.
+
+    ``num_bits=None`` (default) AUTO-SCALES with the corpus:
+    ceil(log2(n / target_bucket_rows)), so the expected bucket stays
+    ~``target_bucket_rows`` no matter the corpus size — at 100x the
+    data the caller doesn't need to know LSH exists (the O(rows^2)
+    bucket kernel stays bounded). ``num_bits=0`` forces one bucket —
+    exact all-pairs (small corpora / oracles only). Recall vs the
+    exact mode is pytest-covered (tests/test_ann.py)."""
+    if num_bits is None:
+        n = ds.count()
+        num_bits = max(0, int(np.ceil(np.log2(
+            max(n, 1) / target_bucket_rows))))
     first = ds.take(1)
     d = len(first[0][emb_col])
     rng = np.random.default_rng(seed)

@@ -250,7 +250,8 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
                               materialize: bool = True,
                               pin_dir: str | None = None,
                               asof_modulo: int | None = None,
-                              blockwise: str = "auto"
+                              blockwise: str = "auto",
+                              pin: bool = True,
                               ) -> ray.data.Dataset:
     """Fused corpus features with explicit hot-key handling: sources
     holding > ``hot_frac`` of rows are split out and processed
@@ -287,9 +288,15 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     if pin_dir is not None:
         from openmldb_ray.state.checkpoint import checkpoint
         slim = checkpoint(slim, pin_dir)
-    else:
+    elif pin:
         slim = slim.materialize()
-    _phase_log("slim pin (read+materialize)", t0)
+        _phase_log("slim pin (read+materialize)", t0)
+    # pin=False: the caller asserts the input is a cheap re-scannable
+    # read (pruned parquet) — the multi-consumer passes (summary+eval,
+    # or hot-detect+cold+hot) re-read the source instead of paying an
+    # object-store materialize. The right mode when the projection
+    # costs less to re-scan than to pin (always true for raw reads;
+    # never true for a Tokenize-derived corpus).
     t0 = time.time()
     blockwise = os.environ.get("GRAFT_BLOCKWISE", blockwise)
     if blockwise != "off":
@@ -381,7 +388,8 @@ def run_flagship(corpus: ray.data.Dataset, num_buckets: int | None = None,
                  include_tokens: bool = False,
                  materialize_axis: bool = True,
                  dim_modulo: int = 7,
-                 fuse_asof: bool = True) -> ray.data.Dataset:
+                 fuse_asof: bool = True,
+                 pin: bool = True) -> ray.data.Dataset:
     """The full BASELINE.md workload over an in-shape corpus Dataset:
     one output row per corpus doc with window features and the as-of
     dim payload.
@@ -403,7 +411,8 @@ def run_flagship(corpus: ray.data.Dataset, num_buckets: int | None = None,
     if fuse_asof:
         joined = corpus_features_skewaware(corpus, num_buckets,
                                            materialize=False,
-                                           asof_modulo=dim_modulo)
+                                           asof_modulo=dim_modulo,
+                                           pin=pin)
     else:
         feats = corpus_features_skewaware(corpus, num_buckets,
                                           materialize=materialize_axis)

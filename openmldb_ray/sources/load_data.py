@@ -91,3 +91,92 @@ def select_into(ds: ray.data.Dataset, path: str, fmt: str = "parquet",
     else:
         from pyarrow import csv as pacsv
         ds.write_csv(path)
+
+
+class StreamIngestor:
+    """Micro-batch streaming ingest — the reference's Kafka-connector
+    analog (extensions/kafka-connect-jdbc: a sink that appends rows to
+    an OpenMLDB table as they arrive) re-expressed as an append-only
+    parquet table with commit + watermark semantics:
+
+    - every ``ingest()`` call lands ONE micro-batch as its own parquet
+      sub-directory, written to ``.tmp`` then renamed (a crashed load
+      never leaves a half-batch that looks committed — same protocol
+      as state.checkpoint);
+    - a ``stream.jsonl`` manifest records (seq, rows, ts_min, ts_max)
+      per committed batch — the lineage/metrics artifact;
+    - ``watermark()`` is the max event time across committed batches:
+      windowed queries over the table are complete up to it;
+    - ``dataset()`` reads the committed batches ONLY (an in-flight or
+      crashed ``.tmp`` directory is invisible).
+
+    Correctness contract (pytest test_sources.py): N consecutive
+    ingests followed by a windowed query equal the same query over one
+    bulk load of the concatenated input.
+    """
+
+    def __init__(self, catalog: Catalog, table: str,
+                 ts_col: str | None = None):
+        self.catalog = catalog
+        self.table = table
+        self.ts_col = ts_col
+        self.dir = os.path.join(catalog.root, "offline", table)
+        os.makedirs(self.dir, exist_ok=True)
+        self.manifest = os.path.join(self.dir, "stream.jsonl")
+
+    def _batches(self) -> list[dict]:
+        if not os.path.exists(self.manifest):
+            return []
+        with open(self.manifest) as fh:
+            return [json.loads(ln) for ln in fh if ln.strip()]
+
+    def ingest(self, src, fmt: str = "parquet", **csv_opts) -> dict:
+        """One micro-batch: a Dataset, or a path loaded like LOAD
+        DATA. Returns the committed manifest entry."""
+        ds = src if isinstance(src, ray.data.Dataset) \
+            else load_data(src, fmt, **csv_opts)
+        seq = max((b["seq"] for b in self._batches()), default=-1) + 1
+        dest = os.path.join(self.dir, f"batch_{seq:06d}")
+        tmp = dest + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        ds.write_parquet(tmp)
+        import pyarrow.parquet as pq
+        rows, ts_min, ts_max = 0, None, None
+        for f in os.listdir(tmp):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(tmp, f))
+            rows += md.num_rows
+            if self.ts_col is not None:
+                t = pq.read_table(os.path.join(tmp, f),
+                                  columns=[self.ts_col])
+                import pyarrow.compute as pc
+                mn = pc.min(t[self.ts_col]).as_py()
+                mx = pc.max(t[self.ts_col]).as_py()
+                ts_min = mn if ts_min is None else min(ts_min, mn)
+                ts_max = mx if ts_max is None else max(ts_max, mx)
+        os.rename(tmp, dest)           # the commit point
+        entry = {"seq": seq, "dir": os.path.basename(dest), "rows": rows,
+                 "ts_min": None if ts_min is None else str(ts_min),
+                 "ts_max": None if ts_max is None else str(ts_max)}
+        with open(self.manifest, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        self.catalog.register(self.table, self.dir, "parquet", "stream")
+        return entry
+
+    def watermark(self):
+        """Max committed event time (None before the first ingest or
+        without a ts_col)."""
+        marks = [b["ts_max"] for b in self._batches()
+                 if b.get("ts_max") is not None]
+        return max(marks) if marks else None
+
+    def dataset(self) -> ray.data.Dataset:
+        """Committed batches only — never an in-flight .tmp."""
+        dirs = [os.path.join(self.dir, b["dir"]) for b in self._batches()]
+        if not dirs:
+            raise ValueError(f"stream table {self.table!r} has no "
+                             "committed batches")
+        return ray.data.read_parquet(dirs, file_extensions=["parquet"])

@@ -10,14 +10,19 @@ Ray Data partial-aggregate table.
   ``write_parquet`` next to the raw table (the reference's pre-agg
   table, meta in ``PRE_AGG_META_NAME``).
 
-- ``LongWindowStore``: the serving-side structure (a feature-store
-  partition analog): bucket arrays + prefix sums per entity, plus the
-  slim raw (ts, value) arrays for edge lookup. ``features()`` answers
-  one request row's long-window aggregate from FULL buckets + the two
-  partial edge buckets' raw rows — O(window/bucket_width + edge rows)
-  instead of an O(window) history scan. At real scale the raw edge
-  lookup is an indexed fetch of two buckets, not a resident array
-  (documented trade-off; the arrays here stand in for that fetch).
+- ``LongWindowStore``: the serving-side structure for ONE partition
+  (the single-tablet analog): bucket arrays + prefix sums per entity,
+  plus the slim raw (ts, value) arrays for edge lookup. ``features()``
+  answers one request row's long-window aggregate from FULL buckets +
+  the two partial edge buckets' raw rows — O(window/bucket_width +
+  edge rows) instead of an O(window) history scan.
+
+- ``ShardedLongWindowStore``: the multi-tablet analog (reference
+  src/tablet/tablet_impl.cc request routing): the build output is
+  hash-partitioned by entity into per-shard parquet, one Ray actor per
+  shard loads ONLY its key range, and requests route by the same key
+  hash (batched: one remote call per touched shard). No single process
+  ever holds the whole table — the store scales by adding shards.
 
 Supported aggregates: sum / count / avg / min / max over a pure
 ROWS_RANGE (``preceding_range``) frame with no modifiers — exactly the
@@ -163,13 +168,14 @@ class LongWindowStore:
         v = column_to_float(raw[value_col])
         kv = raw[key].to_numpy(zero_copy_only=False)
         ts, v, kv = ts[keep], v[keep], kv[keep]
-        order = np.lexsort((ts, kv))
-        ts, v, kv = ts[order], v[order], kv[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(kv[1:] != kv[:-1]) + 1, [len(kv)]))
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            self.raw[kv[lo]] = (ts[lo:hi], v[lo:hi])
+        if len(kv):   # an empty shard/partition is a valid store
+            order = np.lexsort((ts, kv))
+            ts, v, kv = ts[order], v[order], kv[order]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(kv[1:] != kv[:-1]) + 1, [len(kv)]))
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                self.raw[kv[lo]] = (ts[lo:hi], v[lo:hi])
 
     def _edge(self, k, t_lo: int, t_hi: int):
         """Raw (ts, values) of entity k within [t_lo, t_hi]."""
@@ -250,3 +256,138 @@ class LongWindowStore:
                     f"pre-agg serving covers sum/count/avg/min/max, "
                     f"got {a.func}")
         return out
+
+
+def _key_shards(col, n_shards: int) -> np.ndarray:
+    """Stable shard id per key value (build and routing MUST agree —
+    both call this)."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.functions.sketches import hash_column
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col)
+    s = pc.fill_null(pc.cast(col, pa.string()), "\x00null")
+    return (hash_column(s) % np.uint64(n_shards)).astype(np.int32)
+
+
+class _LongWindowShard:
+    """One serving shard: loads its hash partition's parquet from
+    local/shared storage (the tablet's segment read) and answers
+    request batches. Plain class wrapped with ray.remote at spawn.
+    Spawn and ``load`` are separate so process boot overlaps the
+    partitioned build write; actor task ordering guarantees any
+    ``features_batch`` submitted after ``load`` sees the loaded store.
+    """
+
+    def __init__(self, key: str, order_by: str, value_col: str,
+                 width: int):
+        self.key = key
+        self.order_by = order_by
+        self.value_col = value_col
+        self.width = width
+        self.store = None
+
+    def load(self, preagg_dir: str, raw_dir: str) -> int:
+        import os
+
+        import pyarrow.parquet as pq
+
+        key, order_by, value_col = self.key, self.order_by, self.value_col
+
+        def rd(d, empty):
+            return pq.read_table(d) if os.path.isdir(d) else empty
+        empty_pre = pa.table({
+            key: pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "rows": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "sum": pa.array([], pa.float64()),
+            "min": pa.array([], pa.float64()),
+            "max": pa.array([], pa.float64())})
+        empty_raw = pa.table({
+            key: pa.array([], pa.string()),
+            order_by: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.float64())})
+        self.store = LongWindowStore(
+            rd(preagg_dir, empty_pre), rd(raw_dir, empty_raw),
+            key, order_by, value_col, self.width)
+        return len(self.store.raw)
+
+    def features_batch(self, rows, spec, aggs):
+        return [self.store.features(r, spec, aggs) for r in rows]
+
+
+class ShardedLongWindowStore:
+    """Actor-per-key-range serving pool over the distributed
+    ``build_preagg`` output. Build: hash-partitioned parquet (hive
+    layout, one directory per shard — also the resume/lineage unit);
+    serve: requests route by key hash, batched one call per shard."""
+
+    def __init__(self, preagg, raw, key: str, order_by: str,
+                 value_col: str, bucket_width: int, *,
+                 n_shards: int = 8, storage_dir: str | None = None):
+        import os
+        import tempfile
+
+        import ray
+
+        self.key = key
+        self.n_shards = n_shards
+        storage_dir = storage_dir or tempfile.mkdtemp(prefix="lws_")
+
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__shard__", pa.array(_key_shards(t[key], n_shards)))
+        tag.__name__ = "shard_tag"
+        if isinstance(preagg, pa.Table):
+            preagg = ray.data.from_arrow(preagg)
+        if isinstance(raw, pa.Table):
+            raw = ray.data.from_arrow(raw)
+        raw = raw.select_columns([key, order_by, value_col])
+        pre_dir = os.path.join(storage_dir, "preagg")
+        raw_dir = os.path.join(storage_dir, "raw")
+        # spawn first: actor process boot (imports) overlaps the
+        # partitioned build write below. num_cpus=0: serving shards are
+        # latency-bound and must not reserve the cores the build tasks
+        # need (n_shards x 1 cpu deadlocks a small session; on a real
+        # cluster give the serving pool dedicated nodes/placement
+        # groups instead of logical cpus)
+        shard_cls = ray.remote(num_cpus=0)(_LongWindowShard)
+        self.actors = [
+            shard_cls.remote(key, order_by, value_col, bucket_width)
+            for i in range(n_shards)]
+        preagg.map_batches(tag, batch_format="pyarrow").write_parquet(
+            pre_dir, partition_cols=["__shard__"])
+        raw.map_batches(tag, batch_format="pyarrow").write_parquet(
+            raw_dir, partition_cols=["__shard__"])
+        # fire-and-forget: actor task ordering queues features_batch
+        # calls behind load
+        for i, a in enumerate(self.actors):
+            a.load.remote(os.path.join(pre_dir, f"__shard__={i}"),
+                          os.path.join(raw_dir, f"__shard__={i}"))
+
+    def features_batch(self, rows: Sequence[Mapping[str, object]],
+                       spec: WindowSpec, aggs: Sequence[Agg]) -> list:
+        import ray
+        shards = _key_shards([r[self.key] for r in rows], self.n_shards)
+        by: dict[int, list[int]] = {}
+        for i, s in enumerate(shards):
+            by.setdefault(int(s), []).append(i)
+        refs = {s: self.actors[s].features_batch.remote(
+            [rows[i] for i in idx], spec, aggs)
+            for s, idx in by.items()}
+        out: list = [None] * len(rows)
+        for s, idx in by.items():
+            for i, res in zip(idx, ray.get(refs[s])):
+                out[i] = res
+        return out
+
+    def features(self, row: Mapping[str, object], spec: WindowSpec,
+                 aggs: Sequence[Agg]) -> dict:
+        return self.features_batch([row], spec, aggs)[0]
+
+    def shutdown(self) -> None:
+        import ray
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

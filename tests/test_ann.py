@@ -46,3 +46,33 @@ def test_approx_recall(ray_session, variant):
     # the query vector itself is in the corpus -> its own cluster/bucket
     # is always probed; average recall should be clearly non-trivial
     assert np.mean(recalls) > 0.3, recalls
+
+
+def test_embedding_dups_autoscale_bits(ray_session):
+    """num_bits=None must pick ceil(log2(n/target)) so expected bucket
+    size stays ~target; recall vs the exact all-pairs mode must stay
+    high for genuinely near-duplicate pairs (high cosine => collision
+    probability (1 - theta/pi)^bits stays near 1)."""
+    from openmldb_ray.ops.ann import embedding_dup_pairs
+    rng = np.random.default_rng(11)
+    n, d = 3000, 16
+    base = rng.standard_normal((n, d))
+    # plant 60 near-duplicate pairs: tiny perturbations of a base row
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(n)]
+    for j in range(60):
+        v = base[j] + 0.02 * rng.standard_normal(d)
+        rows.append({"vec_id": n + j, "embedding": v.tolist()})
+    ds = ray.data.from_items(rows).materialize()
+
+    exact = embedding_dup_pairs(ds, threshold=0.95, num_bits=0).to_pandas()
+    auto = embedding_dup_pairs(ds, threshold=0.95,
+                               target_bucket_rows=400).to_pandas()
+    # auto mode must actually bucket (3060/400 -> 3 bits) ...
+    assert len(auto) <= len(exact)
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    a = set(zip(auto["id_a"], auto["id_b"]))
+    assert a <= e                       # no false positives ever
+    assert len(a) / max(len(e), 1) > 0.5, (len(a), len(e))
+    # every planted pair is in the exact set
+    planted = {(j, n + j) for j in range(60)}
+    assert planted <= e

@@ -66,3 +66,52 @@ def test_preagg_rejects_modified_frames(ray_session):
         store.features({"k": "u0", "ts": 10, "v": 1.0},
                        WindowSpec("k", "ts", preceding_rows=5),
                        [Agg("sum", "v", "s")])
+
+
+def test_sharded_store_bit_equal_and_partitioned(ray_session):
+    """The actor-per-key-range store must return byte-identical
+    features to the single-process store for every request, including
+    keys absent from the build (empty-window semantics), and every
+    shard actor must hold ONLY its key range."""
+    import ray
+
+    from openmldb_ray.window.preagg import (ShardedLongWindowStore,
+                                            _key_shards)
+    width, rng_w = 1000, 20_000
+    hist = _history(n=8000, keys=13, seed=17)
+    ds = ray.data.from_arrow(hist)
+    preagg = build_preagg(ds, "k", "ts", "v", width)
+    single = LongWindowStore(preagg, hist, "k", "ts", "v", width)
+    sharded = ShardedLongWindowStore(
+        build_preagg(ds, "k", "ts", "v", width), ds,
+        "k", "ts", "v", width, n_shards=4)
+    spec = WindowSpec("k", "ts", preceding_range=rng_w)
+
+    rng = np.random.default_rng(23)
+    kv = hist["k"].to_numpy(zero_copy_only=False)
+    tv = hist["ts"].to_numpy(zero_copy_only=False)
+    reqs = []
+    for i in rng.choice(hist.num_rows, 80, replace=False):
+        reqs.append({"k": kv[i], "ts": int(tv[i]) + int(rng.integers(0, 3)),
+                     "v": float(rng.integers(0, 1000))})
+    reqs.append({"k": "never-seen", "ts": 50_000, "v": 7.0})
+    got = sharded.features_batch(reqs, spec, AGGS)
+    for req, g in zip(reqs, got):
+        exp = single.features(req, spec, AGGS)
+        for a in AGGS:
+            e, gg = exp[a.name], g[a.name]
+            if isinstance(e, float) and np.isnan(e):
+                assert np.isnan(gg), (a.name, req)
+            else:
+                assert float(e) == float(gg), (a.name, req, e, gg)
+
+    # partition check: each actor's store holds exactly its hash range
+    all_keys = set(np.unique(kv))
+    held = ray.get([a.__ray_call__.remote(
+        lambda self: set(self.store.raw.keys())) for a in sharded.actors])
+    for s, keys in enumerate(held):
+        exp_keys = {k for k in all_keys
+                    if int(_key_shards([k], 4)[0]) == s}
+        assert keys == exp_keys, s
+    assert set().union(*held) == all_keys
+    sharded.shutdown()

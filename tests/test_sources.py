@@ -38,3 +38,57 @@ def test_load_data_deep_and_soft(ray_session, tmp_path):
 def test_bad_format_rejected(ray_session):
     with pytest.raises(ValueError):
         load_data("/tmp/x", fmt="json")
+
+
+def test_stream_ingest_equals_bulk_load(ray_session, tmp_path):
+    """N micro-batch ingests == one bulk load: same windowed result,
+    monotone watermark, crash-leftover .tmp invisible."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from openmldb_ray.sources.load_data import Catalog, StreamIngestor
+    from openmldb_ray.window import Agg, WindowSpec, window_agg
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    full = pa.table({
+        "k": pa.array([f"u{i}" for i in rng.integers(0, 5, n)]),
+        "ts": pa.array(np.sort(rng.integers(0, 1_000_000, n))
+                       .astype("int64")),
+        "v": pa.array(rng.integers(0, 100, n).astype("float64")),
+    })
+    cat = Catalog(str(tmp_path / "cat"))
+    ing = StreamIngestor(cat, "ev", ts_col="ts")
+    wms = []
+    for lo in range(0, n, 1000):          # 3 micro-batches, time-ordered
+        ing.ingest(ray.data.from_arrow(full.slice(lo, 1000)))
+        wms.append(ing.watermark())
+    assert wms == sorted(wms)             # watermark is monotone
+    assert int(wms[-1]) == int(full["ts"][n - 1].as_py())
+
+    # a crashed half-batch must stay invisible
+    os.makedirs(str(tmp_path / "cat/offline/ev/batch_000099.tmp"))
+
+    spec = WindowSpec("k", "ts", preceding_rows=10)
+    aggs = [Agg("sum", "v", "s"), Agg("count", None, "c")]
+
+    def run(ds):
+        out = window_agg(ds, spec, aggs, passthrough=["k", "ts"],
+                         num_buckets=4).to_pandas()
+        return out.sort_values(["k", "ts", "s"]).reset_index(drop=True)
+
+    got = run(ing.dataset())
+    exp = run(ray.data.from_arrow(full))
+    import pandas.testing as pt
+    pt.assert_frame_equal(got, exp)
+
+    # manifest doubles as lineage: 3 committed batches, 1000 rows each
+    with open(str(tmp_path / "cat/offline/ev/stream.jsonl")) as fh:
+        entries = [json.loads(x) for x in fh]
+    assert [e["rows"] for e in entries] == [1000, 1000, 1000]
+    # catalog round-trip reads the stream table too
+    assert cat.read("ev").count() == n

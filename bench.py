@@ -58,10 +58,13 @@ def bench_corpus_flagship() -> tuple[float, int]:
     # dim density: ~1 checkpoint row per 64 docs at bench scale (a
     # realistic dimension size; the broadcast index collects it)
     dim_mod = 7 if BENCH_DOCS <= 1_000_000 else 64
-    # pin=False: the input is a pruned raw parquet read — re-scanning
-    # it for the summary and eval passes is cheaper than an
-    # object-store materialize (phase A/B in BASELINE.md)
-    res = run_flagship(corpus, dim_modulo=dim_mod, pin=False)
+    # pin=True (default): A/B measured 3.2-3.9s pinned vs 8.7-10.1s
+    # re-scanning at 2M docs/32cpus — parquet re-decode for the
+    # summary+eval passes costs far more than the one materialize +
+    # zero-copy worker plasma reads. pin=False exists for inputs
+    # larger than aggregate object-store memory (with pin_dir the
+    # better option there).
+    res = run_flagship(corpus, dim_modulo=dim_mod)
     checkpoint(res, out, force=True)
     wall = time.time() - t0
     with open(out + "/_SUCCESS") as fh:

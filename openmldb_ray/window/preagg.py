@@ -78,14 +78,16 @@ def _bucket_partials(b: pa.Table, key: str, order_by: str,
             if cnt[i]:
                 mn[i] = np.nanmin(seg)
                 mx[i] = np.nanmax(seg)
+    # all-null buckets carry NULL (not NaN) min/max so the vectorized
+    # Min/Max reduce skips them
     return pa.table({
         key: pa.array(uniq_keys[ks[starts]]),
         "bucket": pa.array(bs[starts], type=pa.int64()),
         "rows": pa.array(rows),
         "cnt": pa.array(cnt),
         "sum": pa.array(ssum, type=pa.float64()),
-        "min": pa.array(mn, type=pa.float64()),
-        "max": pa.array(mx, type=pa.float64()),
+        "min": pa.array(mn, type=pa.float64(), mask=np.isnan(mn)),
+        "max": pa.array(mx, type=pa.float64(), mask=np.isnan(mx)),
     })
 
 
@@ -97,21 +99,28 @@ def build_preagg(ds: ray.data.Dataset, key: str, order_by: str,
     partial.__name__ = "preagg_partial"
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
-    def reduce_group(g: pa.Table) -> pa.Table:
+    # vectorized reduce: a map_groups here would make one Python call
+    # per (key, bucket) group — #entities x #buckets of them (measured
+    # seconds at 16k groups); the built-in aggregates reduce whole
+    # sorted blocks at once
+    from ray.data.aggregate import Max, Min, Sum
+    reduced = parts.groupby([key, "bucket"]).aggregate(
+        Sum("rows", alias_name="rows"), Sum("cnt", alias_name="cnt"),
+        Sum("sum", alias_name="sum"),
+        Min("min", alias_name="min"), Max("max", alias_name="max"))
+
+    def fix_types(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        return pa.table({
-            key: g[key].slice(0, 1),
-            "bucket": g["bucket"].slice(0, 1),
-            "rows": pa.array([pc.sum(g["rows"]).as_py()], type=pa.int64()),
-            "cnt": pa.array([pc.sum(g["cnt"]).as_py()], type=pa.int64()),
-            "sum": pa.array([pc.sum(g["sum"]).as_py() or 0.0],
-                            type=pa.float64()),
-            "min": pa.array([pc.min(g["min"]).as_py()], type=pa.float64()),
-            "max": pa.array([pc.max(g["max"]).as_py()], type=pa.float64()),
-        })
-    reduce_group.__name__ = "preagg_reduce"
-    return parts.groupby([key, "bucket"]).map_groups(
-        reduce_group, batch_format="pyarrow")
+        for c, t in (("rows", pa.int64()), ("cnt", pa.int64()),
+                     ("sum", pa.float64())):
+            i = b.column_names.index(c)
+            col = b[c]
+            if c == "sum":
+                col = pc.fill_null(col, 0.0)
+            b = b.set_column(i, c, pc.cast(col, t))
+        return b
+    fix_types.__name__ = "preagg_types"
+    return reduced.map_batches(fix_types, batch_format="pyarrow")
 
 
 def _check_spec(spec: WindowSpec) -> int:

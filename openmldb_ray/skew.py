@@ -415,10 +415,12 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
     payload is the refined cuts dict, "refuse" -> payload None."""
     import time as _time
     _t0 = _time.monotonic()
+    _ph: dict = {}
     # refs arrive unresolved (passed inside a list on purpose): a
     # task-arg unpack made the raylet resolve 200 tiny objects one by
     # one (~2s of scheduling); one worker-side batched get is ~50ms
     tables = ray.get(table_refs)
+    _ph["get"] = round(_time.monotonic() - _t0, 3)
     size = sum(t.nbytes for t in tables if t is not None)
     if size > plan_budget_bytes:
         return ({"status": "refuse",
@@ -426,10 +428,12 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
                         f"({size >> 20} MiB of segment summaries > "
                         f"{plan_budget_bytes >> 20} MiB budget)"},
                 None)
+    _t1 = _time.monotonic()
     rows_all = []
     for t in tables:
         if t is not None and t.num_rows:
             rows_all.extend(_summary_rows(t))
+    _ph["rows"] = round(_time.monotonic() - _t1, 3)
     total_rows = sum(r["n_rows"] for r in rows_all)
     meta = {"nseg": len(rows_all), "total_rows": total_rows}
     if rows_all and total_rows / len(rows_all) < min_segment_rows:
@@ -438,12 +442,14 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
                         f"segments over {total_rows} rows (avg < "
                         f"{min_segment_rows})")
         return (meta, None)
+    _t1 = _time.monotonic()
     per_src: dict = {}
     for r in rows_all:
         per_src.setdefault(r["__src__"], []).append(r)
     try:
         plans = {k: _assemble_offsets(rows, tail_rows, tail_range)
                  for k, rows in per_src.items()}
+        _ph["assemble"] = round(_time.monotonic() - _t1, 3)
     except _NotPresorted as e:
         cuts = {
             k: np.array(sorted({r["first_doc"] for r in rows}
@@ -471,7 +477,8 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
         np.empty(0, dtype=np.int64)
     big_vals = np.concatenate(val_parts) if val_parts else \
         np.empty(0, dtype=np.int64)
-    meta.update(status="ok", task_s=round(_time.monotonic() - _t0, 3))
+    meta.update(status="ok", task_s=round(_time.monotonic() - _t0, 3),
+                phases=_ph)
     return (meta, (metas, big_ts, big_vals))
 
 
@@ -829,7 +836,14 @@ def blockwise_corpus_features(
             _MultiSummary(value_col, order_col, key_col, tail_rows,
                           tail_range, asof_modulo, cuts=cuts),
             batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True).materialize()
+            zero_copy_batch=True)
+        # coalesce the per-block summary tablets into a handful of
+        # blocks BEFORE shipping refs: ray.get of ~200 tiny Arrow
+        # tables inside the assembly task measured 2.2s of per-object
+        # overhead vs ~0.1s for the same bytes in 2 blocks
+        summaries = summaries.map_batches(
+            lambda t: t, batch_format="pyarrow",
+            batch_size=1 << 20).materialize()
         _phase_log(f"blockwise summary map r{_round}", _t)
         _t2 = time.time()
         meta_ref, payload_ref = _assemble_task.options(
@@ -839,7 +853,8 @@ def blockwise_corpus_features(
         meta = ray.get(meta_ref)
         _phase_log(f"blockwise assembly r{_round} "
                    f"({meta.get('nseg')} segs, {meta['status']}, "
-                   f"task {meta.get('task_s')}s)", _t2)
+                   f"task {meta.get('task_s')}s "
+                   f"{meta.get('phases')})", _t2)
         if meta["status"] == "ok":
             plan_ref = payload_ref
             break

@@ -14,7 +14,8 @@ KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "BY", "ORDER",
     "WINDOW", "AS", "AND", "OR", "NOT", "IS", "NULL", "LIKE", "ILIKE",
     "BETWEEN", "IN", "CASE", "WHEN", "THEN", "ELSE", "END", "CAST",
-    "JOIN", "LEFT", "LAST", "ASOF", "OUTER", "INNER", "ON", "LIMIT",
+    "JOIN", "LEFT", "RIGHT", "LAST", "ASOF", "OUTER", "INNER", "ON",
+    "LIMIT",
     "PARTITION", "ROWS", "RANGE", "ROWS_RANGE", "PRECEDING", "FOLLOWING",
     "CURRENT", "ROW", "UNBOUNDED", "OPEN", "MAXSIZE", "EXCLUDE",
     "CURRENT_TIME", "INSTANCE_NOT_IN_WINDOW", "UNION", "ALL", "DESC",

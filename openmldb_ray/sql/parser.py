@@ -232,6 +232,14 @@ class Parser:
             self.expect_kw("ON")
             on = self.expr()
             return Join("left", t, on)
+        if self.at_kw("RIGHT"):
+            self.next()
+            self.eat_kw("OUTER")
+            self.expect_kw("JOIN")
+            t = self.table_ref()
+            self.expect_kw("ON")
+            on = self.expr()
+            return Join("right", t, on)
         if self.at_kw("LAST"):
             self.next()
             self.expect_kw("JOIN")

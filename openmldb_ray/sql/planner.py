@@ -409,12 +409,18 @@ class Planner:
                 right_on.append(a.name)
             else:
                 raise ValueError(f"cannot resolve join keys {a} = {b}")
-        if j.kind in ("left", "inner"):
+        if j.kind in ("left", "inner", "right"):
             if ineq or residual:
                 raise NotImplementedError("non-equi LEFT JOIN predicate")
             from openmldb_ray.joins.hash_join import hash_join
-            out = hash_join(left, right, on=on, right_on=right_on,
-                            how=j.kind)
+            if j.kind == "right":
+                # RIGHT JOIN = LEFT JOIN with the sides swapped; name
+                # collisions then suffix the LEFT table's columns
+                out = hash_join(right, left, on=right_on, right_on=on,
+                                how="left")
+            else:
+                out = hash_join(left, right, on=on, right_on=right_on,
+                                how=j.kind)
         elif j.kind in ("asof_left", "last"):
             from openmldb_ray.joins import last_join
             order_by = left_ts = None

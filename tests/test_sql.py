@@ -134,3 +134,27 @@ def test_kernel_lag_preserves_timestamp_exactness(ray_session):
     assert str(out["prev"].dtype).startswith("datetime64")
     got = out["prev"].astype("int64").tolist()[1:]
     assert got == ts_vals[:-1]  # exact to the microsecond
+
+
+def test_right_join_matches_duckdb(ray_session):
+    """RIGHT JOIN = side-swapped LEFT JOIN (null-extended right-only
+    rows included)."""
+    import duckdb
+    import numpy as np
+
+    from openmldb_ray.sql import sql
+    q = """select c_custkey, c_name, o_orderkey from orders
+           right join customer on o_custkey = c_custkey
+           where c_custkey <= 30"""
+    got = sql(q, SF, dialect="ansi").to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF}/{t}.parquet'")
+    exp = con.execute(q).df()
+    a = got.sort_values(["c_custkey", "o_orderkey"]).reset_index(drop=True)
+    b = exp.sort_values(["c_custkey", "o_orderkey"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["c_name"].to_numpy() == b["c_name"].to_numpy()).all()
+    assert np.array_equal(a["o_orderkey"].fillna(-1).to_numpy(),
+                          b["o_orderkey"].fillna(-1).to_numpy())

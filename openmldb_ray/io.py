@@ -35,6 +35,19 @@ def clean_read_parquet(path: str, columns: list[str] | None = None,
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
+def _no_prefetch_meta_provider():
+    """Parquet metadata provider that skips the per-file footer
+    prefetch: with one block per file the planner doesn't need
+    row-group metadata, and prefetching 200 footers through Ray tasks
+    measured ~2.5s of plan time (~1s without) on a 200-file read."""
+    from ray.data.datasource import ParquetMetadataProvider
+
+    class _NoPrefetch(ParquetMetadataProvider):
+        def prefetch_file_metadata(self, fragments, **kw):
+            return None
+    return _NoPrefetch()
+
+
 def read_parquet_per_file(path: str, columns: list[str] | None = None,
                           **kwargs) -> ray.data.Dataset:
     """read_parquet with ONE BLOCK PER FILE — for layout-sensitive
@@ -50,6 +63,7 @@ def read_parquet_per_file(path: str, columns: list[str] | None = None,
         n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
         if n:
             kwargs.setdefault("override_num_blocks", n)
+            kwargs.setdefault("meta_provider", _no_prefetch_meta_provider())
     return clean_read_parquet(path, columns=columns, **kwargs)
 
 

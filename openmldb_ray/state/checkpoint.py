@@ -30,10 +30,13 @@ def is_complete(stage_dir: str) -> bool:
 
 
 def checkpoint(ds: ray.data.Dataset, stage_dir: str,
-               force: bool = False) -> ray.data.Dataset:
+               force: bool = False, **write_kwargs) -> ray.data.Dataset:
     """Write-through checkpoint; skipped (read-only) when already
     complete. Writes go to a temp dir first, renamed on success, so a
-    killed run never leaves a half-checkpoint that looks complete."""
+    killed run never leaves a half-checkpoint that looks complete.
+    ``write_kwargs`` pass through to ``write_parquet`` (e.g.
+    ``use_dictionary=False`` — measured fastest AND smallest for
+    numeric-feature outputs: dictionary pages buy nothing there)."""
     if is_complete(stage_dir) and not force:
         return ray.data.read_parquet(stage_dir,
                                      file_extensions=["parquet"])
@@ -42,7 +45,7 @@ def checkpoint(ds: ray.data.Dataset, stage_dir: str,
         import shutil
         shutil.rmtree(tmp)
     t0 = time.time()
-    ds.write_parquet(tmp)
+    ds.write_parquet(tmp, **write_kwargs)
     from openmldb_ray.pipelines.corpus import _phase_log
     _phase_log("checkpoint write_parquet", t0)
     t1 = time.time()

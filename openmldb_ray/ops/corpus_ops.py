@@ -1,0 +1,225 @@
+"""Corpus-hygiene operators a large-scale training-data pipeline needs
+beyond document-level dedup: paragraph-level exact dedup (the C4
+"repeated span" rule at paragraph granularity), benchmark
+decontamination (drop documents sharing an n-gram with an eval set),
+and deterministic sampling (hash fractions + per-key quotas).
+
+Scale shapes:
+
+- ``dedup_paragraphs``: explode to (doc_id, idx, para_hash) SLIM rows
+  (never the paragraph text), one groupby on the hash keeps the first
+  occurrence (min (doc_id, idx)), survivors regroup per doc and the
+  text is rebuilt from the ORIGINAL row's paragraphs — the only text
+  movement is the per-doc rebuild join, bucketed by doc id.
+- ``decontaminate``: the eval set is dimension-sized by definition, so
+  its n-gram hash set is built once and broadcast (``ray.put``); the
+  corpus filter is one vectorized shingle pass per batch against the
+  sorted hash array (searchsorted membership) — zero shuffle.
+- ``sample_by_hash``: deterministic content-independent sampling by
+  id hash — stable across runs/cluster sizes, no RNG state, no
+  shuffle. ``sample_per_key`` caps rows per key (e.g. per-source
+  quotas) with one slim groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from openmldb_ray.functions.hashing import fnv1a_flat, word_hashes_batch
+from openmldb_ray.functions.sketches import _splitmix64
+
+_PRIME = np.uint64(0x100000001B3)
+
+
+def _para_hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, doc_off): FNV of each non-empty paragraph (split on
+    blank lines), flat layout."""
+    paras_flat: list[bytes] = []
+    doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        ps = [p for p in (t or "").split("\n\n") if p.strip()]
+        paras_flat.extend(p.encode() for p in ps)
+        doc_off[i + 1] = doc_off[i] + len(ps)
+    if not paras_flat:
+        return np.empty(0, np.uint64), doc_off
+    data = np.frombuffer(b"".join(paras_flat), dtype=np.uint8)
+    off = np.zeros(len(paras_flat) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in paras_flat], out=off[1:])
+    return fnv1a_flat(off, data), doc_off
+
+
+def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Paragraph-level exact dedup: each distinct paragraph survives
+    only at its FIRST occurrence (smallest (doc_id, paragraph index)
+    across the corpus); every doc's text is rebuilt from its surviving
+    paragraphs (docs left empty are dropped). Returns
+    (id_col, text_col) with text_col rewritten.
+
+    64-bit paragraph hashes stand in for exact strings (collision odds
+    ~2^-30 at corpus scale); the oracle/test compares exact strings."""
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        h, doc_off = _para_hashes(texts)
+        counts = np.diff(doc_off)
+        ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), counts)
+        idx = np.concatenate([np.arange(c) for c in counts]) \
+            if len(counts) else np.empty(0, np.int64)
+        return pa.table({
+            "para_hash": pa.array(h.view(np.int64)),
+            id_col: pa.array(ids),
+            "__pidx__": pa.array(idx.astype(np.int64)),
+        })
+    explode.__name__ = "explode_paragraphs"
+    slim = ds.map_batches(explode, batch_format="pyarrow")
+
+    def first(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(id_col, "ascending"), ("__pidx__", "ascending")])
+        return g.take(order[:1])
+    first.__name__ = "first_occurrence"
+    from openmldb_ray.context import shuffle_partitions
+    survivors = slim.groupby(
+        "para_hash", num_partitions=shuffle_partitions(num_buckets)) \
+        .map_groups(first, batch_format="pyarrow") \
+        .drop_columns(["para_hash"])
+
+    # rebuild: attach surviving (doc, idx) back to the original rows
+    from openmldb_ray.joins.hash_join import hash_join
+    keep = survivors.groupby(id_col).map_groups(
+        lambda g: pa.table({
+            id_col: g[id_col].slice(0, 1),
+            "__keep__": pa.array(
+                [np.sort(g["__pidx__"].to_numpy(zero_copy_only=False))
+                 .tolist()], pa.list_(pa.int64())),
+        }), batch_format="pyarrow")
+    joined = hash_join(ds.select_columns([id_col, text_col]), keep,
+                       on=id_col, how="inner", num_buckets=num_buckets)
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        keeps = b["__keep__"].to_pylist()
+        out = []
+        for t, kp in zip(texts, keeps):
+            ps = [p for p in (t or "").split("\n\n") if p.strip()]
+            out.append("\n\n".join(ps[i] for i in kp))
+        tbl = pa.table({id_col: b[id_col],
+                        text_col: pa.array(out, pa.string())})
+        return tbl.filter(pc.greater(pc.utf8_length(tbl[text_col]), 0))
+    rebuild.__name__ = "rebuild_docs"
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _ngram_hash_set(texts, n: int) -> np.ndarray:
+    """Sorted unique n-gram hashes of the given texts (rolling
+    polynomial combine of word FNV hashes — same family as
+    shingle_hashes_batch)."""
+    wh, doc_off = word_hashes_batch(list(texts))
+    out = []
+    with np.errstate(over="ignore"):
+        for d in range(len(doc_off) - 1):
+            w = wh[doc_off[d]:doc_off[d + 1]]
+            if len(w) < n:
+                continue
+            acc = w[: len(w) - n + 1].copy()
+            for j in range(1, n):
+                acc = acc * _PRIME ^ w[j: len(w) - n + 1 + j]
+            out.append(acc)
+    if not out:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(out))
+
+
+class _ContaminationFilter:
+    """Actor stage: drop (or tag) docs sharing >= min_hits n-grams with
+    the broadcast eval-set hash array (sorted; searchsorted lookup)."""
+
+    def __init__(self, banned_ref, text_col: str, n: int,
+                 min_hits: int, tag_only: bool):
+        self.banned = ray.get(banned_ref)
+        self.text_col = text_col
+        self.n = n
+        self.min_hits = min_hits
+        self.tag_only = tag_only
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b[self.text_col].to_pylist()
+        wh, doc_off = word_hashes_batch(texts)
+        hits = np.zeros(len(texts), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for d in range(len(texts)):
+                w = wh[doc_off[d]:doc_off[d + 1]]
+                if len(w) < self.n:
+                    continue
+                acc = w[: len(w) - self.n + 1].copy()
+                for j in range(1, self.n):
+                    acc = acc * _PRIME ^ w[j: len(w) - self.n + 1 + j]
+                pos = np.searchsorted(self.banned, acc)
+                pos = np.minimum(pos, len(self.banned) - 1)
+                hits[d] = int((self.banned[pos] == acc).sum()) \
+                    if len(self.banned) else 0
+        clean = hits < self.min_hits
+        if self.tag_only:
+            return (b.append_column("ngram_hits", pa.array(hits))
+                    .append_column("contaminated",
+                                   pa.array(~clean)))
+        return b.filter(pa.array(clean))
+
+
+def decontaminate(ds: ray.data.Dataset, eval_texts,
+                  text_col: str = "text", n: int = 8,
+                  min_hits: int = 1, tag_only: bool = False,
+                  concurrency: int | None = None) -> ray.data.Dataset:
+    """Drop corpus documents sharing >= ``min_hits`` word n-grams with
+    any eval-set text (train/test contamination removal). The eval set
+    is dimension-sized: its hash set is built once on the driver and
+    broadcast via ray.put; the corpus side is one zero-shuffle
+    vectorized pass."""
+    banned = _ngram_hash_set(eval_texts, n)
+    banned_ref = ray.put(banned)
+    from openmldb_ray.context import pool_concurrency
+    return ds.map_batches(
+        _ContaminationFilter, batch_format="pyarrow", batch_size=1024,
+        fn_constructor_args=(banned_ref, text_col, n, min_hits, tag_only),
+        concurrency=concurrency or pool_concurrency())
+
+
+def sample_by_hash(ds: ray.data.Dataset, fraction: float,
+                   id_col: str = "doc_id",
+                   seed: int = 0) -> ray.data.Dataset:
+    """Deterministic sampling: keep rows whose splitmix64(id ^ seed)
+    falls below fraction * 2^64. Stable across runs, cluster sizes and
+    block layouts (content-keyed, not RNG-keyed); zero shuffle."""
+    thr = np.uint64(int(fraction * float(1 << 64))) if fraction < 1.0 \
+        else np.uint64(0xFFFFFFFFFFFFFFFF)
+    sd = np.uint64(seed)
+
+    def pick(b: pa.Table) -> pa.Table:
+        from openmldb_ray.functions.sketches import hash_column
+        ids = b[id_col]
+        h = _splitmix64(hash_column(ids) ^ sd)
+        return b.filter(pa.array(h < thr))
+    pick.__name__ = "hash_sample"
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def sample_per_key(ds: ray.data.Dataset, key: str, max_rows: int,
+                   order_col: str | None = None,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key quota: keep at most ``max_rows`` rows per key value
+    (deterministic: smallest ``order_col`` first). One shuffle on the
+    key; use for per-source corpus balancing."""
+    def head(g: pa.Table) -> pa.Table:
+        if order_col is not None:
+            g = g.take(pc.sort_indices(
+                g, sort_keys=[(order_col, "ascending")]))
+        return g.slice(0, max_rows)
+    head.__name__ = "per_key_head"
+    from openmldb_ray.context import shuffle_partitions
+    return ds.groupby(key, num_partitions=shuffle_partitions(num_buckets)) \
+        .map_groups(head, batch_format="pyarrow")

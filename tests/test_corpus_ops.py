@@ -1,0 +1,104 @@
+"""Corpus-hygiene ops: paragraph dedup vs a brute-force reference,
+decontamination hit semantics, deterministic sampling invariants."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _docs():
+    # doc 1 and 3 share paragraph B; doc 2 repeats A internally
+    return [
+        {"doc_id": 1, "text": "A one\n\nB two\n\nC three"},
+        {"doc_id": 2, "text": "A one\n\nA one\n\nD four"},
+        {"doc_id": 3, "text": "B two\n\nE five"},
+        {"doc_id": 4, "text": "B two"},              # fully duplicate
+        {"doc_id": 5, "text": ""},                    # empty drops
+    ]
+
+
+def _brute_para_dedup(docs):
+    seen, out = set(), {}
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        keep = []
+        for p in d["text"].split("\n\n"):
+            if not p.strip():
+                continue
+            if p not in seen:
+                seen.add(p)
+                keep.append(p)
+        if keep:
+            out[d["doc_id"]] = "\n\n".join(keep)
+    return out
+
+
+def test_dedup_paragraphs_matches_brute(ray_session):
+    from openmldb_ray.ops.corpus_ops import dedup_paragraphs
+    docs = _docs()
+    ds = ray.data.from_items(docs).repartition(3)
+    got = dedup_paragraphs(ds, num_buckets=4).to_pandas()
+    exp = _brute_para_dedup(docs)
+    assert dict(zip(got["doc_id"], got["text"])) == exp
+
+
+def test_dedup_paragraphs_randomized(ray_session):
+    from openmldb_ray.ops.corpus_ops import dedup_paragraphs
+    rng = np.random.default_rng(7)
+    pool = [f"para {i} words here" for i in range(20)]
+    docs = [{"doc_id": i,
+             "text": "\n\n".join(rng.choice(pool,
+                                            size=rng.integers(1, 6)))}
+            for i in range(60)]
+    ds = ray.data.from_items(docs).repartition(5)
+    got = dedup_paragraphs(ds, num_buckets=8).to_pandas()
+    exp = _brute_para_dedup(docs)
+    assert dict(zip(got["doc_id"], got["text"])) == exp
+    # global invariant: every distinct paragraph survives exactly once
+    all_paras = [p for t in got["text"] for p in t.split("\n\n")]
+    assert len(all_paras) == len(set(all_paras))
+
+
+def test_decontaminate(ray_session):
+    from openmldb_ray.ops.corpus_ops import decontaminate
+    evals = ["the quick brown fox jumps over the lazy dog tonight"]
+    docs = [
+        {"doc_id": 1, "text": "prefix the quick brown fox jumps over "
+                              "the lazy dog tonight suffix"},   # hit
+        {"doc_id": 2, "text": "the quick brown fox sat down"},  # <8-gram
+        {"doc_id": 3, "text": "completely unrelated text about rivers "
+                              "and mountains and long valleys ok"},
+    ]
+    ds = ray.data.from_items(docs)
+    kept = decontaminate(ds, evals, n=8, concurrency=2).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3]
+    tagged = decontaminate(ds, evals, n=8, tag_only=True,
+                           concurrency=2).to_pandas()
+    m = dict(zip(tagged["doc_id"], tagged["contaminated"]))
+    assert m == {1: True, 2: False, 3: False}
+    hits = dict(zip(tagged["doc_id"], tagged["ngram_hits"]))
+    assert hits[1] >= 1 and hits[2] == 0
+
+
+def test_sample_by_hash_deterministic_and_stable(ray_session):
+    from openmldb_ray.ops.corpus_ops import sample_by_hash
+    ds = ray.data.range(10_000).map_batches(
+        lambda b: {"doc_id": b["id"]}, batch_format="numpy")
+    a = sample_by_hash(ds, 0.25, seed=1).to_pandas()
+    b = sample_by_hash(ds.repartition(17), 0.25, seed=1).to_pandas()
+    # identical selection regardless of block layout
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert 0.2 < len(a) / 10_000 < 0.3
+    c = sample_by_hash(ds, 0.25, seed=2).to_pandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])  # seed matters
+
+
+def test_sample_per_key_quota(ray_session):
+    from openmldb_ray.ops.corpus_ops import sample_per_key
+    rows = [{"k": f"s{i % 3}", "ts": i, "v": i} for i in range(100)]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = sample_per_key(ds, "k", max_rows=5, order_col="ts",
+                         num_buckets=4).to_pandas()
+    g = out.groupby("k")["ts"].apply(list).to_dict()
+    for i in range(3):
+        # smallest-ts rows win, exactly 5 per key
+        assert sorted(g[f"s{i}"]) == [i, i + 3, i + 6, i + 9, i + 12]

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from openmldb_ray.context import pool_concurrency
+from openmldb_ray.context import pool_concurrency  # noqa: F401 (API)
 from openmldb_ray.functions.hashing import (shingle_hashes_batch,
                                             simhash_batch,
                                             word_hashes_batch)
@@ -44,10 +44,11 @@ def dedup_exact(ds: ray.data.Dataset, text_col: str = "text",
                 concurrency: int | None = None) -> ray.data.Dataset:
     """Keep, per identical text, the row with the smallest id.
     hash -> groupby(hash) -> min-id row (one shuffle of slim rows)."""
-    hashed = ds.map_batches(Fingerprint, batch_format="pyarrow",
-                            batch_size=4096,
-                            fn_constructor_args=(text_col,),
-                            concurrency=concurrency or pool_concurrency())
+    # trivial-init stage: a task pool beats an actor pool (no setup
+    # to amortize, no pool spin-up; pass concurrency to force actors)
+    hashed = ds.map_batches(Fingerprint(text_col),
+                            batch_format="pyarrow", batch_size=4096,
+                            concurrency=concurrency)
 
     def first(g: pa.Table) -> pa.Table:
         return g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
@@ -273,10 +274,9 @@ def minhash_duplicate_pairs(
     """Candidate generation + exact-Jaccard verification; returns rows
     (id_a, id_b, jaccard) with id_a < id_b, deduplicated."""
     bands = ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=1024,
-        fn_constructor_args=(text_col, id_col, num_hashes, num_bands,
-                             shingle_k),
-        concurrency=concurrency or pool_concurrency())
+        MinHasher(text_col, id_col, num_hashes, num_bands, shingle_k),
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency)
     cand = _candidate_pairs(bands, id_col, ["band_id", "band_hash"])
     # candidates are rare by design: a compact join (16 buckets)
     # avoids two full-size aggregator pools; raise for corpora where
@@ -284,9 +284,9 @@ def minhash_duplicate_pairs(
     withtext = _attach_texts(cand, ds, text_col, id_col,
                              num_buckets=16)
     return withtext.map_batches(
-        _JaccardVerify, batch_format="pyarrow", batch_size=4096,
-        fn_constructor_args=(shingle_k, jaccard_threshold),
-        concurrency=concurrency or pool_concurrency())
+        _JaccardVerify(shingle_k, jaccard_threshold),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency)
 
 
 def dedup_minhash(ds: ray.data.Dataset, text_col: str = "text",
@@ -347,9 +347,9 @@ def ngram_jaccard_pairs(
     shingle-anchor collisions, then exact Jaccard filters. Same output
     schema as minhash_duplicate_pairs."""
     anc = ds.map_batches(
-        _AnchorRows, batch_format="pyarrow", batch_size=1024,
-        fn_constructor_args=(text_col, id_col, shingle_k, band_sample),
-        concurrency=concurrency or pool_concurrency())
+        _AnchorRows(text_col, id_col, shingle_k, band_sample),
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency)
     cand = _candidate_pairs(anc, id_col, ["anchor"])
     # candidates are rare by design: a compact join (16 buckets)
     # avoids two full-size aggregator pools; raise for corpora where
@@ -357,9 +357,9 @@ def ngram_jaccard_pairs(
     withtext = _attach_texts(cand, ds, text_col, id_col,
                              num_buckets=16)
     return withtext.map_batches(
-        _JaccardVerify, batch_format="pyarrow", batch_size=4096,
-        fn_constructor_args=(shingle_k, threshold),
-        concurrency=concurrency or pool_concurrency())
+        _JaccardVerify(shingle_k, threshold),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency)
 
 
 class SimHash:
@@ -383,9 +383,8 @@ class SimHash:
 
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        concurrency: int | None = None) -> ray.data.Dataset:
-    return ds.map_batches(SimHash, batch_format="pyarrow",
-                          batch_size=4096, fn_constructor_args=(text_col,),
-                          concurrency=concurrency or pool_concurrency())
+    return ds.map_batches(SimHash(text_col), batch_format="pyarrow",
+                          batch_size=4096, concurrency=concurrency)
 
 
 def simhash_duplicate_pairs(

@@ -193,6 +193,7 @@ class LangId:
     vectorized (one regex count per language per batch, argmax)."""
 
     LANGS = ("en", "de", "fr", "es")
+    EXPENSIVE_INIT = True   # the model-load stand-in: actor pool
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
@@ -293,12 +294,21 @@ class RepetitionScore:
 
 def with_text_features(ds: ray.data.Dataset, stages, batch_size: int = 4096,
                        concurrency: int | None = None) -> ray.data.Dataset:
-    """Chain text stages as one actor pool each. Stages that declare
-    ``ARROW_OK`` take zero-copy Arrow batches; the rest need pandas
-    ``.str`` kernels and get the (one) conversion."""
-    c = concurrency or pool_concurrency()
+    """Chain text stages. Stages that declare ``ARROW_OK`` take
+    zero-copy Arrow batches; the rest need pandas ``.str`` kernels and
+    get the (one) conversion. Stages declaring ``EXPENSIVE_INIT``
+    (model loads — LangId is the stand-in) run as actor pools so setup
+    amortizes; trivial-init stages run as task pools (instances), which
+    pipeline better and skip pool spin-up."""
     for cls in stages:
         fmt = "pyarrow" if getattr(cls, "ARROW_OK", False) else "pandas"
-        ds = ds.map_batches(cls, batch_format=fmt,
-                            batch_size=batch_size, concurrency=c)
+        if getattr(cls, "EXPENSIVE_INIT", False):
+            ds = ds.map_batches(cls, batch_format=fmt,
+                                batch_size=batch_size,
+                                concurrency=concurrency
+                                or pool_concurrency())
+        else:
+            ds = ds.map_batches(cls(), batch_format=fmt,
+                                batch_size=batch_size,
+                                concurrency=concurrency)
     return ds

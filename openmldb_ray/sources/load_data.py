@@ -126,9 +126,47 @@ class StreamIngestor:
 
     def _batches(self) -> list[dict]:
         if not os.path.exists(self.manifest):
-            return []
-        with open(self.manifest) as fh:
-            return [json.loads(ln) for ln in fh if ln.strip()]
+            entries = []
+        else:
+            with open(self.manifest) as fh:
+                entries = [json.loads(ln) for ln in fh if ln.strip()]
+        # reconcile: a batch_* dir present but absent from the manifest
+        # is a crash between the rename (the data commit) and the
+        # manifest append — finish its commit instead of losing it or
+        # colliding with its seq
+        known = {b["dir"] for b in entries}
+        orphans = sorted(
+            d for d in os.listdir(self.dir)
+            if d.startswith("batch_") and not d.endswith(".tmp")
+            and os.path.isdir(os.path.join(self.dir, d))
+            and d not in known)
+        for d in orphans:
+            entry = self._stats_of(os.path.join(self.dir, d))
+            entry.update(seq=int(d.split("_")[1]), dir=d, recovered=True)
+            with open(self.manifest, "a") as fh:
+                fh.write(json.dumps(entry) + "\n")
+            entries.append(entry)
+        return sorted(entries, key=lambda b: b["seq"])
+
+    def _stats_of(self, path: str) -> dict:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        rows, ts_min, ts_max = 0, None, None
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            rows += md.num_rows
+            if self.ts_col is not None and md.num_rows:
+                t = pq.read_table(os.path.join(path, f),
+                                  columns=[self.ts_col])
+                mn = pc.min(t[self.ts_col]).as_py()
+                mx = pc.max(t[self.ts_col]).as_py()
+                ts_min = mn if ts_min is None else min(ts_min, mn)
+                ts_max = mx if ts_max is None else max(ts_max, mx)
+        return {"rows": rows,
+                "ts_min": None if ts_min is None else str(ts_min),
+                "ts_max": None if ts_max is None else str(ts_max)}
 
     def ingest(self, src, fmt: str = "parquet", **csv_opts) -> dict:
         """One micro-batch: a Dataset, or a path loaded like LOAD
@@ -142,25 +180,9 @@ class StreamIngestor:
             import shutil
             shutil.rmtree(tmp)
         ds.write_parquet(tmp)
-        import pyarrow.parquet as pq
-        rows, ts_min, ts_max = 0, None, None
-        for f in os.listdir(tmp):
-            if not f.endswith(".parquet"):
-                continue
-            md = pq.read_metadata(os.path.join(tmp, f))
-            rows += md.num_rows
-            if self.ts_col is not None:
-                t = pq.read_table(os.path.join(tmp, f),
-                                  columns=[self.ts_col])
-                import pyarrow.compute as pc
-                mn = pc.min(t[self.ts_col]).as_py()
-                mx = pc.max(t[self.ts_col]).as_py()
-                ts_min = mn if ts_min is None else min(ts_min, mn)
-                ts_max = mx if ts_max is None else max(ts_max, mx)
+        entry = self._stats_of(tmp)
         os.rename(tmp, dest)           # the commit point
-        entry = {"seq": seq, "dir": os.path.basename(dest), "rows": rows,
-                 "ts_min": None if ts_min is None else str(ts_min),
-                 "ts_max": None if ts_max is None else str(ts_max)}
+        entry.update(seq=seq, dir=os.path.basename(dest))
         with open(self.manifest, "a") as fh:
             fh.write(json.dumps(entry) + "\n")
         self.catalog.register(self.table, self.dir, "parquet", "stream")
@@ -168,10 +190,19 @@ class StreamIngestor:
 
     def watermark(self):
         """Max committed event time (None before the first ingest or
-        without a ts_col)."""
+        without a ts_col). Manifest values are stringified for JSON;
+        numeric ones must compare numerically (max("9","17") is "9")."""
         marks = [b["ts_max"] for b in self._batches()
                  if b.get("ts_max") is not None]
-        return max(marks) if marks else None
+        if not marks:
+            return None
+
+        def key(v):
+            try:
+                return (0, float(v), "")
+            except (TypeError, ValueError):
+                return (1, 0.0, str(v))
+        return max(marks, key=key)
 
     def dataset(self) -> ray.data.Dataset:
         """Committed batches only — never an in-flight .tmp."""

@@ -92,3 +92,40 @@ def test_stream_ingest_equals_bulk_load(ray_session, tmp_path):
     assert [e["rows"] for e in entries] == [1000, 1000, 1000]
     # catalog round-trip reads the stream table too
     assert cat.read("ev").count() == n
+
+
+def test_stream_ingest_recovers_orphaned_commit(ray_session, tmp_path):
+    """A crash between the dir rename (data commit) and the manifest
+    append must be healed on the next access — not lost, not seq-
+    colliding."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from openmldb_ray.sources.load_data import Catalog, StreamIngestor
+    cat = Catalog(str(tmp_path / "cat"))
+    ing = StreamIngestor(cat, "ev", ts_col="ts")
+    t = pa.table({"k": ["a"] * 10, "ts": pa.array(range(10), pa.int64()),
+                  "v": pa.array([float(i) for i in range(10)])})
+    ing.ingest(ray.data.from_arrow(t))
+
+    # simulate the crash: commit batch 1's data dir, no manifest line
+    t2 = pa.table({"k": ["a"] * 5, "ts": pa.array(range(10, 15),
+                                                  pa.int64()),
+                   "v": pa.array([1.0] * 5)})
+    orphan = str(tmp_path / "cat/offline/ev/batch_000001")
+    ray.data.from_arrow(t2).write_parquet(orphan)
+
+    # next ingest reconciles the orphan AND takes seq=2 (no collision)
+    t3 = pa.table({"k": ["a"] * 3, "ts": pa.array(range(15, 18),
+                                                  pa.int64()),
+                   "v": pa.array([2.0] * 3)})
+    e3 = ing.ingest(ray.data.from_arrow(t3))
+    assert e3["seq"] == 2
+    entries = ing._batches()
+    assert [e["seq"] for e in entries] == [0, 1, 2]
+    assert any(e.get("recovered") for e in entries)
+    assert ing.dataset().count() == 18
+    assert int(ing.watermark()) == 17

@@ -108,6 +108,13 @@ class Param:
 
 
 @dataclass
+class ScalarSubquery:
+    """Uncorrelated (SELECT ...) inside a value expression; resolved
+    to a Lit at plan time (must yield exactly one row, one column)."""
+    sel: object
+
+
+@dataclass
 class Interval:
     micros: int          # canonicalized to microseconds
 

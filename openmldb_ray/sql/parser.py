@@ -512,7 +512,10 @@ class Parser:
         if t.kind == "OP" and t.val == "(":
             self.next()
             if self.at_kw("SELECT"):
-                raise ValueError("scalar subqueries are not supported")
+                sub = self.select()
+                self.expect_op(")")
+                from openmldb_ray.sql.ast import ScalarSubquery
+                return ScalarSubquery(sub)
             e = self.expr()
             self.expect_op(")")
             return e

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from openmldb_ray.sql.ast import (BinOp, Col, Func, Select,
+from openmldb_ray.sql.ast import (BinOp, Col, Func, Lit, Select,
                                   SelectItem, Star, TableRef, WinCall,
                                   WindowDef)
 from openmldb_ray.sql.exprs import collect, const_eval, eval_expr
@@ -226,6 +226,7 @@ class Planner:
                     Catalog(self.catalog.sf_dir, scoped),
                     self.dialect, presorted=self.presorted).plan(sub)
             self.catalog = Catalog(self.catalog.sf_dir, scoped)
+        self._resolve_scalar_subqueries(sel)
         if sel.set_ops:
             # UNION [ALL|DISTINCT] chain, left-associative
             # (cases/plan/union_query.yaml): branches align by
@@ -341,6 +342,58 @@ class Planner:
             if not (self.dialect == "openmldb" and sel.limit == 0):
                 ds = ds.limit(sel.limit)
         return ds
+
+    # ------------------------------------------- scalar subqueries
+    def _resolve_scalar_subqueries(self, sel: Select) -> None:
+        """Replace uncorrelated (SELECT ...) value expressions with
+        literals BEFORE column-pruning walks the tree (so the outer
+        scan never loads the subquery's columns). Runs after CTE
+        installation so subqueries see the CTE scope. Correlated
+        references surface as unknown-column errors from the inner
+        plan — rewrapped with a clear message."""
+        from openmldb_ray.sql.ast import ScalarSubquery
+
+        def resolve(q: ScalarSubquery):
+            try:
+                ds = Planner(self.catalog, self.dialect,
+                             presorted=self.presorted).plan(q.sel)
+                rows = ds.take(2)
+            except Exception as e:
+                raise ValueError(
+                    "scalar subquery failed to evaluate (correlated "
+                    f"subqueries are not supported): {e}") from e
+            if len(rows) != 1 or len(rows[0]) != 1:
+                raise ValueError(
+                    "scalar subquery must return exactly one row and "
+                    f"one column, got {len(rows)} row(s)")
+            return Lit(next(iter(rows[0].values())))
+
+        def walk(x):
+            if isinstance(x, ScalarSubquery):
+                return resolve(x)
+            if isinstance(x, Select):
+                return x          # nested scopes resolve themselves
+            if hasattr(x, "__dataclass_fields__"):
+                for f in x.__dataclass_fields__:
+                    v = getattr(x, f)
+                    if isinstance(v, list):
+                        setattr(x, f, [
+                            tuple(walk(t) for t in it)
+                            if isinstance(it, tuple) else walk(it)
+                            for it in v])
+                    elif isinstance(v, tuple):
+                        setattr(x, f, tuple(walk(t) for t in v))
+                    else:
+                        setattr(x, f, walk(v))
+            return x
+
+        for it in sel.items:
+            walk(it)
+        sel.where = walk(sel.where)
+        sel.having = walk(sel.having)
+        sel.group_by = [walk(e) for e in sel.group_by]
+        sel.order_by = [tuple(walk(t) for t in ob) if isinstance(ob, tuple)
+                        else walk(ob) for ob in sel.order_by]
 
     # ----------------------------------------------------------- FROM
     def _from(self, t: TableRef | None, referenced: set, sel: Select):

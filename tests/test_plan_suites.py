@@ -13,7 +13,8 @@ Skipped classes, each with the reason at the skip site:
   rejects them — e.g. ``&&``/``||`` logical forms);
 - online-serving-only statements (DEPLOY, PROCEDURE, JOB control) and
   EXPLAIN (no plan-dump surface here);
-- scalar subqueries and RIGHT JOIN (documented unsupported);
+- scalar subqueries (uncorrelated, plan-time resolved) and RIGHT JOIN
+  parse since round 3;
 - CONFIG ( ... ) statement suffix (cluster-execution hints).
 """
 
@@ -30,11 +31,6 @@ SKIP = {
     ("simple_query", "select with config"): "CONFIG() suffix: "
         "cluster-execution hint, not part of the query surface",
     ("simple_query", "union_with_config"): "CONFIG() suffix",
-    ("sub_query", "2"): "scalar subquery: documented unsupported",
-    ("cmd", "7"): "EXPLAIN body uses a scalar subquery in WHERE: "
-        "documented unsupported",
-    ("sub_query", "3"): "RIGHT JOIN: reference batch planner has "
-        "LEFT/LAST/CONCAT only (SparkPlanner.scala:235-274)",
     ("window_query", "3-2"): "%%fun embedded-script UDF",
     ("window_query", "4-3"): "%%fun embedded-script UDF",
     ("window_query", "5-2"): "%%fun embedded-script UDF",

@@ -158,3 +158,24 @@ def test_right_join_matches_duckdb(ray_session):
     assert (a["c_name"].to_numpy() == b["c_name"].to_numpy()).all()
     assert np.array_equal(a["o_orderkey"].fillna(-1).to_numpy(),
                           b["o_orderkey"].fillna(-1).to_numpy())
+
+
+def test_scalar_subquery_uncorrelated(ray_session):
+    """Uncorrelated (SELECT ...) value expressions resolve at plan
+    time; multi-row subqueries raise."""
+    import duckdb
+    import pytest as pt
+
+    from openmldb_ray.sql import sql
+    q = """select c_custkey, c_acctbal from customer
+           where c_acctbal > (select avg(c_acctbal) from customer) * 1.8
+           order by c_acctbal desc limit 5"""
+    got = sql(q, SF, dialect="ansi").to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"'{SF}/customer.parquet'")
+    exp = con.execute(q).df()
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    with pt.raises(ValueError, match="one row"):
+        sql("select 1 + (select c_custkey from customer) as x",
+            SF, dialect="ansi").to_pandas()

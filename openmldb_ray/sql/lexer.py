@@ -20,7 +20,7 @@ KEYWORDS = {
     "CURRENT", "ROW", "UNBOUNDED", "OPEN", "MAXSIZE", "EXCLUDE",
     "CURRENT_TIME", "INSTANCE_NOT_IN_WINDOW", "UNION", "ALL", "DESC",
     "ASC", "INTERVAL", "OVER", "HAVING", "TIMESTAMP", "DATE", "WITH",
-    "MOD", "DIV", "XOR", "ESCAPE",
+    "MOD", "DIV", "XOR", "ESCAPE", "CONFIG",
 }
 
 # multi-char operators first

@@ -119,6 +119,22 @@ class Parser:
             else:
                 self.eat_kw("DISTINCT")
             sel.set_ops.append((op, self.select()))
+        if self.at_kw("CONFIG"):
+            # CONFIG (k=v, ...) suffix: a cluster-execution hint in the
+            # reference (simple_query.yaml "select with config"); it
+            # carries no meaning for this engine — parse and ignore,
+            # consuming the balanced parens
+            self.next()
+            self.expect_op("(")
+            depth = 1
+            while depth and self.peek().kind != "END":
+                t = self.next()
+                if t.kind == "OP" and t.val == "(":
+                    depth += 1
+                elif t.kind == "OP" and t.val == ")":
+                    depth -= 1
+            if depth:
+                raise ValueError("unterminated CONFIG clause")
         return sel
 
     def select(self) -> Select:

@@ -28,9 +28,6 @@ P = "/root/reference/cases/plan"
 # (suite, id) -> skip reason; ids are str(id) or "id-k" for multi-sql
 SKIP = {
     ("simple_query", "24-1"): "&&: tags zetasql-unsupport (TODO)",
-    ("simple_query", "select with config"): "CONFIG() suffix: "
-        "cluster-execution hint, not part of the query surface",
-    ("simple_query", "union_with_config"): "CONFIG() suffix",
     ("window_query", "3-2"): "%%fun embedded-script UDF",
     ("window_query", "4-3"): "%%fun embedded-script UDF",
     ("window_query", "5-2"): "%%fun embedded-script UDF",

@@ -330,12 +330,22 @@ class Planner:
             ds = distinct(ds, out_names)
         if sel.order_by:
             keys, desc = [], []
+            derived: dict = {}
             for e, d in sel.order_by:
-                if not isinstance(e, Col):
-                    raise NotImplementedError("ORDER BY expression")
-                keys.append(e.name)
+                if isinstance(e, Col):
+                    keys.append(e.name)
+                else:
+                    # ORDER BY <expression>: evaluate over the OUTPUT
+                    # columns into a hidden sort key, dropped after
+                    nm = self._name("ob")
+                    derived[nm] = e
+                    keys.append(nm)
                 desc.append(d)
+            if derived:
+                ds = _add_columns(ds, derived)
             ds = ds.sort(keys, descending=desc)
+            if derived:
+                ds = ds.drop_columns(list(derived))
         if sel.limit is not None:
             # OpenMLDB LIMIT 0 means "no limit"
             # (select/test_select_sample.yaml id 12); ANSI returns 0 rows

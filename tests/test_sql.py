@@ -179,3 +179,20 @@ def test_scalar_subquery_uncorrelated(ray_session):
     with pt.raises(ValueError, match="one row"):
         sql("select 1 + (select c_custkey from customer) as x",
             SF, dialect="ansi").to_pandas()
+
+
+def test_order_by_expression(ray_session):
+    """ORDER BY <expr> evaluates over the output columns into a hidden
+    sort key (dropped after the sort)."""
+    import duckdb
+
+    from openmldb_ray.sql import sql
+    q = """select c_custkey, c_acctbal from customer
+           order by abs(c_acctbal - 1000) desc, c_custkey limit 7"""
+    got = sql(q, SF, dialect="ansi").to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"'{SF}/customer.parquet'")
+    exp = con.execute(q).df()
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert list(got.columns) == ["c_custkey", "c_acctbal"]

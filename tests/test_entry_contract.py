@@ -33,12 +33,17 @@ def test_every_oracle_has_a_query():
 
 
 def test_entry_module_never_inits_ray():
+    import ast
     import inspect
 
     import __ray_entry__ as e
-    src = inspect.getsource(e)
-    calls = [ln for ln in src.splitlines()
-             if "ray.init(" in ln and not ln.lstrip().startswith("#")]
+    tree = ast.parse(inspect.getsource(e))
+    calls = [n for n in ast.walk(tree)
+             if isinstance(n, ast.Call)
+             and isinstance(n.func, ast.Attribute)
+             and n.func.attr in ("init", "shutdown")
+             and isinstance(n.func.value, ast.Name)
+             and n.func.value.id == "ray"]
     assert not calls, (
         "__ray_entry__ must not own a Ray session (the driver calls "
         "ray.init before importing it)")

@@ -30,7 +30,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from openmldb_ray.context import pool_concurrency  # noqa: F401 (API)
 from openmldb_ray.functions.hashing import (shingle_hashes_batch,
                                             simhash_batch,
                                             word_hashes_batch)

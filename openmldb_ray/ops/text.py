@@ -8,7 +8,6 @@ where possible.
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pandas as pd

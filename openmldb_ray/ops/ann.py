@@ -150,6 +150,69 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8,
     return cent
 
 
+def kmeans_distributed(
+    ds: ray.data.Dataset,
+    k: int,
+    emb_col: str = "embedding",
+    iters: int = 8,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding column: seeds from
+    a bounded driver sample (farthest-point), then each iteration is
+    one ``map_batches`` pass emitting per-cluster PARTIAL (sum, count)
+    rows — the driver reduces k x (d+1) floats per block, never the
+    vectors. O(iters) passes, zero shuffle; the centroids converge on
+    the FULL corpus rather than the sample (the scale path when the
+    sample misrepresents the distribution). Returns L2-normalized
+    (k, d) centroids, deterministic for a fixed seed."""
+    samp = ds.limit(sample_rows)
+    m = []
+    for b in samp.iter_batches(batch_format="pyarrow", batch_size=4096):
+        m.append(_normalize(_emb_matrix(b, emb_col)))
+    cent = _normalize(_kmeans_lite(np.vstack(m), k, iters=2, seed=seed))
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mm = _normalize(_emb_matrix(b, emb_col))
+            lab = (mm @ c.T).argmax(1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, lab, mm)
+            cnt = np.bincount(lab, minlength=len(c)).astype(np.float64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "vsum": pa.array(list(sums),
+                                 type=pa.list_(pa.float64(), c.shape[1])),
+            })
+        partial.__name__ = "kmeans_partial"
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=8192)
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(len(cent))
+        for b in parts.iter_batches(batch_format="pyarrow",
+                                    batch_size=4096):
+            cl = b["cluster"].to_numpy(zero_copy_only=False)
+            cn = b["cnt"].to_numpy(zero_copy_only=False)
+            vs = np.asarray(b["vsum"].combine_chunks()
+                            .flatten().to_numpy(zero_copy_only=False)
+                            ).reshape(len(cl), -1)
+            np.add.at(sums, cl, vs)
+            np.add.at(cnts, cl, cn)
+        nz = cnts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / cnts[nz, None]
+        new = _normalize(new)
+        if np.allclose(new, cent, atol=1e-9):
+            cent = new
+            break
+        cent = new
+    return cent
+
+
 def knn_ivf(
     ds: ray.data.Dataset,
     queries,
@@ -162,20 +225,28 @@ def knn_ivf(
     sample_rows: int = 10_000,
     seed: int = 42,
     concurrency: int | None = None,
+    train: str = "sample",
 ) -> ray.data.Dataset:
-    """IVF approximate top-k: coarse k-means centroids (trained on a
-    driver-side sample), rows assigned to their nearest centroid per
-    batch, and each query scores only rows in its ``nprobe`` nearest
-    clusters. The scale path when LSH recall is insufficient:
-    recall/cost dial = nprobe/num_clusters. Same output schema as
-    knn_bruteforce."""
-    samp = ds.limit(sample_rows)
-    m = []
-    for b in samp.iter_batches(batch_format="pyarrow", batch_size=4096):
-        m.append(_normalize(_emb_matrix(b, emb_col)))
-    sample = np.vstack(m)
-    cent = _kmeans_lite(sample, num_clusters, seed=seed)
-    cent = _normalize(cent)
+    """IVF approximate top-k: coarse k-means centroids, rows assigned
+    to their nearest centroid per batch, and each query scores only
+    rows in its ``nprobe`` nearest clusters. The scale path when LSH
+    recall is insufficient: recall/cost dial = nprobe/num_clusters.
+    ``train="sample"`` fits on a bounded driver sample (fast, fine for
+    well-mixed corpora); ``train="distributed"`` runs full-corpus
+    Lloyd iterations via ``kmeans_distributed`` (one map pass per
+    iteration, partial-sum reduce — no vector ever leaves its block).
+    Same output schema as knn_bruteforce."""
+    if train == "distributed":
+        cent = kmeans_distributed(ds, num_clusters, emb_col,
+                                  sample_rows=sample_rows, seed=seed)
+    else:
+        samp = ds.limit(sample_rows)
+        m = []
+        for b in samp.iter_batches(batch_format="pyarrow",
+                                   batch_size=4096):
+            m.append(_normalize(_emb_matrix(b, emb_col)))
+        cent = _normalize(_kmeans_lite(np.vstack(m), num_clusters,
+                                       seed=seed))
     cref = ray.put(cent)
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))

@@ -76,3 +76,40 @@ def test_embedding_dups_autoscale_bits(ray_session):
     # every planted pair is in the exact set
     planted = {(j, n + j) for j in range(60)}
     assert planted <= e
+
+
+def test_kmeans_distributed_converges(ray_session):
+    """Full-corpus Lloyd via map_batches partial sums must find the
+    planted cluster structure and give IVF recall at least as good as
+    the sample-trained path."""
+    from openmldb_ray.ops.ann import (kmeans_distributed, knn_bruteforce,
+                                      knn_ivf)
+    rng = np.random.default_rng(3)
+    d, per = 8, 500
+    # angularly well-separated planted centers (cosine k-means finds
+    # DIRECTIONS; random gaussian centers can nearly share an angle)
+    centers = np.eye(4, d) * 5.0
+    pts = np.vstack([c + rng.standard_normal((per, d))
+                     for c in centers])
+    rows = [{"vec_id": i, "embedding": pts[i].tolist()}
+            for i in range(len(pts))]
+    ds = ray.data.from_items(rows).repartition(6).materialize()
+
+    cent = kmeans_distributed(ds, 4, iters=10, sample_rows=200)
+    assert cent.shape == (4, d)
+    # every planted center's direction is represented by some centroid
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    sims = cn @ cent.T
+    assert (sims.max(axis=1) > 0.95).all(), sims.max(axis=1)
+
+    q = pts[:3].astype(np.float64)
+    exact = knn_bruteforce(ds, q, [0, 1, 2], k=10).to_pandas()
+    approx = knn_ivf(ds, q, [0, 1, 2], k=10, num_clusters=4, nprobe=1,
+                     train="distributed").to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # nprobe=1 on well-separated clusters: near-perfect recall
+    assert np.mean(recalls) > 0.9, recalls

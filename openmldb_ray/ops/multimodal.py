@@ -267,11 +267,13 @@ def decode_stage(ds: ray.data.Dataset, decoder_cls=HeaderDecoder,
 
 def frame_sample(ds: ray.data.Dataset, every_n: int = 10) -> ray.data.Dataset:
     """Deterministic 1-in-n sampling by media_id hash (video frame
-    sampling analog) — no shuffle, no RNG state."""
+    sampling analog) — no shuffle, no RNG state, stable across block
+    layouts (content-keyed; vectorized FNV+splitmix)."""
+    import pyarrow.compute as pc
+
     def pick(b: pa.Table) -> pa.Table:
-        ids = b["media_id"].to_pylist()
-        keep = np.array([
-            int(hashlib.sha256((i or "").encode()).hexdigest()[:8], 16)
-            % every_n == 0 for i in ids])
+        from openmldb_ray.functions.sketches import hash_column
+        ids = pc.fill_null(pc.cast(b["media_id"], pa.string()), "")
+        keep = hash_column(ids) % np.uint64(every_n) == 0
         return b.filter(pa.array(keep))
     return ds.map_batches(pick, batch_format="pyarrow")

@@ -712,13 +712,18 @@ def _q_window_nested(sf_dir):
          "from events window w as (partition by user_id order by ts "
          "rows between 5 preceding and current row)")
     out = sql(q, sf_dir, dialect="ansi")
+
     # Float frame sums reduce in a different order than DuckDB (ulp
     # drift ≤3e-13 on ~16% of rows); round both sides for the compare.
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.column_names.index("r"), "r",
-            pc.round(b["r"], ndigits=6)),
-        batch_format="pyarrow")
+    # m is a count: the kernel computes count_where in float — cast to
+    # int64 to match the oracle's BIGINT (the driver hash is
+    # dtype-sensitive).
+    def canon(b: pa.Table) -> pa.Table:
+        b = b.set_column(b.column_names.index("r"), "r",
+                         pc.round(b["r"], ndigits=6))
+        return b.set_column(b.column_names.index("m"), "m",
+                            pc.cast(pc.round(b["m"]), pa.int64()))
+    return out.map_batches(canon, batch_format="pyarrow")
 
 
 def _q_window_concat_keys(sf_dir):

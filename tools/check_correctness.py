@@ -42,12 +42,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         drop=True)
 
 
+def dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(name, ray_df, sql_df) -> str:
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         return (f"SCHEMA ray={sorted(ray_df.columns)} "
                 f"sql={sorted(sql_df.columns)}")
     if len(ray_df) != len(sql_df):
         return f"ROWS ray={len(ray_df)} sql={len(sql_df)}"
+    # the driver's value hash is dtype-sensitive (round-2 regression:
+    # int32 Ray column vs DOUBLE oracle hashed differently with equal
+    # values) — flag kind mismatches loudly even when values match
+    for c in ray_df.columns:
+        a, b = dtype_kind(ray_df[c]), dtype_kind(sql_df[c])
+        if a == b:
+            continue
+        if {a, b} <= {"int", "float"} and (
+                ray_df[c].isna().any() or sql_df[c].isna().any()):
+            continue  # nullable-int -> float64 pandas coercion
+        return (f"DTYPE col={c} ray={ray_df[c].dtype} "
+                f"sql={sql_df[c].dtype} (driver hash-fail risk)")
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c], b[c]

@@ -18,20 +18,22 @@ def strip_meta(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def clean_read_parquet(path: str, columns: list[str] | None = None,
+def clean_read_parquet(path, columns: list[str] | None = None,
+                       schema_file: str | None = None,
                        **kwargs) -> ray.data.Dataset:
     """read_parquet that emits blocks WITHOUT schema metadata: an
     explicit pruned schema is passed so the read tasks never attach the
     file's pandas metadata (which would make every downstream schema
-    unhashable — see strip_meta)."""
+    unhashable — see strip_meta). ``schema_file``: read the schema from
+    this file when ``path`` is a list."""
     import pyarrow.parquet as pq
     try:
-        sch = pq.read_schema(path)
+        sch = pq.read_schema(schema_file or path)
         if columns is not None:
             sch = pa.schema([sch.field(c) for c in columns])
         kwargs.setdefault("schema", sch.remove_metadata())
-    except (OSError, KeyError):
-        pass  # directory / missing column: let Ray infer
+    except (OSError, KeyError, TypeError):
+        pass  # directory / list / missing column: let Ray infer
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
@@ -60,10 +62,16 @@ def read_parquet_per_file(path: str, columns: list[str] | None = None,
     zero-shuffle plan verifies on the first pass."""
     import os
     if os.path.isdir(path):
-        n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
-        if n:
-            kwargs.setdefault("override_num_blocks", n)
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith(".parquet"))
+        if files:
+            # explicit file list: a directory argument pays a cold
+            # pyarrow dataset discovery (~1.7s at 200 files vs 0.17s)
+            kwargs.setdefault("override_num_blocks", len(files))
             kwargs.setdefault("meta_provider", _no_prefetch_meta_provider())
+            kwargs.pop("file_extensions", None)
+            return clean_read_parquet(files, columns=columns,
+                                      schema_file=files[0], **kwargs)
     return clean_read_parquet(path, columns=columns, **kwargs)
 
 

@@ -115,3 +115,40 @@ def test_sharded_store_bit_equal_and_partitioned(ray_session):
         assert keys == exp_keys, s
     assert set().union(*held) == all_keys
     sharded.shutdown()
+
+
+@pytest.mark.parametrize("seed,n_shards,width,rng_w",
+                         [(101, 2, 500, 7_000), (202, 5, 1_000, 25_000),
+                          (303, 3, 777, 3_333)])
+def test_sharded_store_randomized(ray_session, seed, n_shards, width,
+                                  rng_w):
+    """Randomized shard counts / bucket widths / frame ranges: the
+    sharded store must stay bit-equal to the raw request path."""
+    import ray
+
+    from openmldb_ray.window.preagg import ShardedLongWindowStore
+    hist = _history(n=4000, keys=7, seed=seed)
+    ds = ray.data.from_arrow(hist)
+    preagg = build_preagg(ds, "k", "ts", "v", width)
+    store = ShardedLongWindowStore(preagg, ds, "k", "ts", "v", width,
+                                   n_shards=n_shards)
+    spec = WindowSpec("k", "ts", preceding_range=rng_w)
+
+    rng = np.random.default_rng(seed + 1)
+    kv = hist["k"].to_numpy(zero_copy_only=False)
+    tv = hist["ts"].to_numpy(zero_copy_only=False)
+    reqs = [{"k": kv[i], "ts": int(tv[i]) + int(rng.integers(0, 5)),
+             "v": float(rng.integers(0, 1000))}
+            for i in rng.choice(hist.num_rows, 30, replace=False)]
+    got = store.features_batch(reqs, spec, AGGS)
+    for req, g in zip(reqs, got):
+        sub = hist.filter(pa.compute.equal(hist["k"], req["k"]))
+        exp = request_features(req, sub, spec, AGGS)
+        for a in AGGS:
+            e, gg = exp[a.name], g[a.name]
+            if isinstance(e, float) and np.isnan(e):
+                assert np.isnan(gg), (a.name, req)
+            else:
+                assert float(e) == pytest.approx(float(gg), rel=1e-12), \
+                    (a.name, req, e, gg)
+    store.shutdown()

@@ -102,3 +102,39 @@ def test_sample_per_key_quota(ray_session):
     for i in range(3):
         # smallest-ts rows win, exactly 5 per key
         assert sorted(g[f"s{i}"]) == [i, i + 3, i + 6, i + 9, i + 12]
+
+
+def test_dedup_paragraphs_vs_duckdb_oracle(ray_session):
+    """Independent-engine cross-check over the real documents table:
+    paragraph-level dedup must match DuckDB's unnest + QUALIFY +
+    ordered string_agg formulation exactly."""
+    import duckdb
+    import ray.data
+
+    from openmldb_ray.ops.corpus_ops import dedup_paragraphs
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = dedup_paragraphs(docs, num_buckets=8).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    exp = con.execute("""
+        WITH paras AS (
+          SELECT doc_id, p.para, p.idx - 1 AS idx
+          FROM documents,
+          LATERAL (SELECT unnest(str_split(text, chr(10)||chr(10)))
+                     AS para,
+                   generate_subscripts(
+                     str_split(text, chr(10)||chr(10)), 1) AS idx) p
+          WHERE trim(p.para) <> ''),
+        surv AS (
+          SELECT doc_id, para, idx FROM paras
+          QUALIFY row_number() OVER (PARTITION BY para
+                                     ORDER BY doc_id, idx) = 1)
+        SELECT doc_id,
+               string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
+        FROM surv GROUP BY doc_id""").df()
+    g = dict(zip(got["doc_id"], got["text"]))
+    e = dict(zip(exp["doc_id"], exp["text"]))
+    assert g == e

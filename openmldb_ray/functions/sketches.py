@@ -65,7 +65,21 @@ def hash_column(col) -> np.ndarray:
         return _splitmix64(v.view(np.uint64))
     if pa.types.is_integer(t) or pa.types.is_temporal(t) or \
             pa.types.is_boolean(t):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if pa.types.is_unsigned_integer(t) and t.bit_width == 64:
+            # uint64 above 2^63-1 fails a checked int64 cast; hash the
+            # raw bit pattern instead.
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return _splitmix64(v)
+        bw = getattr(t, "bit_width", 64)
+        if bw > 64:
+            raise TypeError(f"approx_count_distinct: unhashable type {t}")
+        if bw <= 32:
+            # 32-bit temporals (date32/time32) refuse a direct int64
+            # cast; hop through int32 (same pattern as io.py).
+            col = col.cast(pa.int32()).cast(pa.int64())
+        else:
+            col = col.cast(pa.int64())
+        v = col.to_numpy(zero_copy_only=False)
         return _splitmix64(v.view(np.uint64))
     if pa.types.is_string(t) or pa.types.is_large_string(t) or \
             pa.types.is_binary(t):

@@ -148,21 +148,34 @@ class _ContaminationFilter:
         self.tag_only = tag_only
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        texts = b[self.text_col].to_pylist()
-        wh, doc_off = word_hashes_batch(texts)
-        hits = np.zeros(len(texts), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            for d in range(len(texts)):
-                w = wh[doc_off[d]:doc_off[d + 1]]
-                if len(w) < self.n:
-                    continue
-                acc = w[: len(w) - self.n + 1].copy()
+        # Flat-batch layout (the RepetitionScore pattern): one rolling
+        # combine over the whole batch's word-hash array, doc-boundary
+        # grams masked out — no per-document Python loop. ``hits``
+        # counts DISTINCT matched n-gram hashes per doc (a document
+        # repeating one shared n-gram counts once toward min_hits).
+        hits = np.zeros(b.num_rows, dtype=np.int64)
+        wh, doc_off = word_hashes_batch(b[self.text_col])
+        m = len(wh) - self.n + 1
+        if m > 0 and len(self.banned):
+            counts = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
+            doc_of_word = np.repeat(np.arange(len(counts)), counts)
+            with np.errstate(over="ignore"):
+                acc = wh[:m].copy()
                 for j in range(1, self.n):
-                    acc = acc * _PRIME ^ w[j: len(w) - self.n + 1 + j]
-                pos = np.searchsorted(self.banned, acc)
-                pos = np.minimum(pos, len(self.banned) - 1)
-                hits[d] = int((self.banned[pos] == acc).sum()) \
-                    if len(self.banned) else 0
+                    acc = acc * _PRIME ^ wh[j:j + m]
+            valid = doc_of_word[:m] == doc_of_word[self.n - 1:]
+            acc = acc[valid]
+            gdoc = doc_of_word[:m][valid]
+            pos = np.minimum(np.searchsorted(self.banned, acc),
+                             len(self.banned) - 1)
+            matched = self.banned[pos] == acc
+            if matched.any():
+                mh, md = acc[matched], gdoc[matched]
+                order = np.lexsort((mh, md))
+                sh, sd = mh[order], md[order]
+                first = np.concatenate(
+                    ([True], (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])))
+                hits = np.bincount(sd[first], minlength=b.num_rows)
         clean = hits < self.min_hits
         if self.tag_only:
             return (b.append_column("ngram_hits", pa.array(hits))
@@ -201,7 +214,9 @@ def sample_by_hash(ds: ray.data.Dataset, fraction: float,
 
     def pick(b: pa.Table) -> pa.Table:
         from openmldb_ray.functions.sketches import hash_column
-        ids = b[id_col]
+        # hash_column drops nulls, which would desync the mask from the
+        # batch; null ids hash as the empty string (kept deterministic).
+        ids = pc.fill_null(pc.cast(b[id_col], pa.string()), "")
         h = _splitmix64(hash_column(ids) ^ sd)
         return b.filter(pa.array(h < thr))
     pick.__name__ = "hash_sample"

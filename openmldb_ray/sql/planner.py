@@ -477,10 +477,61 @@ class Planner:
                 raise NotImplementedError("non-equi LEFT JOIN predicate")
             from openmldb_ray.joins.hash_join import hash_join
             if j.kind == "right":
-                # RIGHT JOIN = LEFT JOIN with the sides swapped; name
-                # collisions then suffix the LEFT table's columns
-                out = hash_join(right, left, on=right_on, right_on=on,
+                # RIGHT JOIN = LEFT JOIN with the sides swapped. The
+                # raw swap emits right-table columns first, suffixes
+                # the LEFT side's collisions, and folds the left key
+                # away — all diverging from standard left-first output.
+                # Standard RIGHT JOIN keeps BOTH key columns (the left
+                # one NULL for unmatched right rows), so duplicate the
+                # left keys as payload (they ride the swap's
+                # null-extension), then rename/reorder to left-first
+                # with the RIGHT side suffixed.
+                lnames = list(left.schema().names)
+                dup = {k: f"__rjk{i}__" for i, k in enumerate(on)}
+
+                def _add_dups(b: pa.Table, _dup=tuple(dup.items())
+                              ) -> pa.Table:
+                    for k, d in _dup:
+                        b = b.append_column(d, b[k])
+                    return b
+                _add_dups.__name__ = "right_join_key_dup"
+                left2 = left.map_batches(_add_dups,
+                                         batch_format="pyarrow")
+                out = hash_join(right, left2, on=right_on, right_on=on,
                                 how="left")
+                # positional schema of the swapped join's output:
+                cur_order = list(rnames) \
+                    + [(c + "_r" if c in rcols else c)
+                       for c in lnames if c not in on] \
+                    + [dup[k] for k in on]
+                used = set(lnames)
+                final_r = []
+                for c in rnames:
+                    want = c
+                    while want in used:
+                        want += "_r"
+                    final_r.append(want)
+                    used.add(want)
+                pos_final = final_r \
+                    + [c for c in lnames if c not in on] + list(on)
+                select_order = lnames + final_r
+
+                def _normalize(b: pa.Table, _cur=tuple(cur_order),
+                               _fin=tuple(pos_final),
+                               _ord=tuple(select_order)) -> pa.Table:
+                    assert list(b.column_names) == list(_cur), \
+                        (b.column_names, _cur)
+                    return b.rename_columns(list(_fin)) \
+                        .select(list(_ord))
+                _normalize.__name__ = "right_join_normalize"
+                out = out.map_batches(_normalize,
+                                      batch_format="pyarrow")
+                if scopes is not None and r_alias:
+                    ren = dict(zip(rnames, final_r))
+                    scopes[r_alias] = ren
+                    if "." in r_alias:
+                        scopes.setdefault(r_alias.split(".")[-1], ren)
+                return out, set(select_order)
             else:
                 out = hash_join(left, right, on=on, right_on=right_on,
                                 how=j.kind)

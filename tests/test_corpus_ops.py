@@ -79,6 +79,82 @@ def test_decontaminate(ray_session):
     assert hits[1] >= 1 and hits[2] == 0
 
 
+def test_decontaminate_min_hits_counts_distinct(ray_session):
+    """min_hits counts DISTINCT shared n-grams: a doc repeating one
+    shared 3-gram many times shares only ONE distinct n-gram and must
+    survive min_hits=2, while a doc sharing two different 3-grams is
+    dropped."""
+    from openmldb_ray.ops.corpus_ops import decontaminate
+    evals = ["alpha beta gamma delta epsilon zeta"]
+    one = "alpha beta gamma X " * 5            # same 3-gram repeated 5x
+    two = "alpha beta gamma X delta epsilon zeta"   # two distinct hits
+    docs = [{"doc_id": 1, "text": one},
+            {"doc_id": 2, "text": two},
+            {"doc_id": 3, "text": "nothing shared at all here"}]
+    ds = ray.data.from_items(docs)
+    tagged = decontaminate(ds, evals, n=3, tag_only=True,
+                           concurrency=1).to_pandas()
+    hits = dict(zip(tagged["doc_id"], tagged["ngram_hits"]))
+    assert hits[1] == 1 and hits[2] == 2 and hits[3] == 0
+    kept = decontaminate(ds, evals, n=3, min_hits=2,
+                         concurrency=1).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3]
+
+
+def test_decontaminate_matches_per_doc_brute(ray_session):
+    """The flat-batch contamination kernel must agree with a per-doc
+    recompute on a randomized corpus (doc-boundary grams masked)."""
+    from openmldb_ray.functions.hashing import word_hashes_batch
+    from openmldb_ray.ops.corpus_ops import (_PRIME, _ngram_hash_set,
+                                             decontaminate)
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab,
+                                          size=rng.integers(0, 25)))}
+            for i in range(80)]
+    evals = [" ".join(rng.choice(vocab, size=12)) for _ in range(5)]
+    # plant real eval spans in a third of the docs so hits are certain
+    for i in range(0, 80, 3):
+        ev = evals[i % 5]
+        span = " ".join(ev.split()[: rng.integers(2, 10)])
+        docs[i]["text"] = docs[i]["text"] + " " + span
+    n = 4
+    banned = _ngram_hash_set(evals, n)
+
+    def brute_hits(text):
+        wh, off = word_hashes_batch([text])
+        w = wh[off[0]:off[1]]
+        if len(w) < n or not len(banned):
+            return 0
+        acc = w[: len(w) - n + 1].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, n):
+                acc = acc * _PRIME ^ w[j: len(w) - n + 1 + j]
+        return len(np.unique(acc[np.isin(acc, banned)]))
+
+    ds = ray.data.from_items(docs).repartition(3)
+    tagged = decontaminate(ds, evals, n=n, tag_only=True,
+                           concurrency=2).to_pandas()
+    got = dict(zip(tagged["doc_id"], tagged["ngram_hits"]))
+    exp = {d["doc_id"]: brute_hits(d["text"]) for d in docs}
+    assert got == exp
+    assert sum(v > 0 for v in exp.values()) > 0  # non-trivial corpus
+
+
+def test_sample_by_hash_null_ids(ray_session):
+    """Null ids must not desync the filter mask (regression: crashed
+    with a length mismatch in pa.Table.filter)."""
+    from openmldb_ray.ops.corpus_ops import sample_by_hash
+    rows = [{"doc_id": (None if i % 7 == 0 else f"d{i}"), "v": i}
+            for i in range(500)]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = sample_by_hash(ds, 0.5, seed=3).to_pandas()
+    out2 = sample_by_hash(ds.repartition(11), 0.5, seed=3).to_pandas()
+    assert sorted(out["v"]) == sorted(out2["v"])
+    assert 0.35 < len(out) / 500 < 0.65
+
+
 def test_sample_by_hash_deterministic_and_stable(ray_session):
     from openmldb_ray.ops.corpus_ops import sample_by_hash
     ds = ray.data.range(10_000).map_batches(

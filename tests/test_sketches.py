@@ -126,6 +126,25 @@ def test_hash_column_type_coverage():
         assert len(np.unique(h)) == len(h)
 
 
+def test_hash_column_temporal_and_uint64():
+    import datetime
+
+    import pyarrow as pa
+    # 32-bit temporals refuse a direct int64 cast in Arrow — they must
+    # hop through int32 (regression: crashed with ArrowNotImplemented).
+    d = pa.array([datetime.date(2024, 1, i + 1) for i in range(5)],
+                 type=pa.date32())
+    t32 = pa.array([1000 * i for i in range(5)], type=pa.time32("ms"))
+    # uint64 above 2^63-1 fails a checked int64 cast — bit reinterpret.
+    u64 = pa.array([1, 2**63, 2**64 - 1], type=pa.uint64())
+    ts = pa.array([datetime.datetime(2024, 1, 1, 0, 0, i)
+                   for i in range(4)], type=pa.timestamp("ms"))
+    for arr in (d, t32, u64, ts):
+        h = hash_column(arr)
+        assert len(h) == len(arr)
+        assert len(np.unique(h)) == len(h)
+
+
 # ---------------------------------------------------- distributed path
 
 def test_sql_approx_agg_exact_at_small_scale(ray_session):

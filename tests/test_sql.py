@@ -160,6 +160,38 @@ def test_right_join_matches_duckdb(ray_session):
                           b["o_orderkey"].fillna(-1).to_numpy())
 
 
+def test_right_join_select_star_order_and_collisions(ray_session):
+    """RIGHT JOIN SELECT * must emit the LEFT table's columns first and
+    suffix the RIGHT side's colliding names — same rules as LEFT JOIN
+    (regression: the side-swapped implementation leaked right-first
+    order and suffixed the left table instead)."""
+    import ray.data
+
+    from openmldb_ray.sql import sql
+    a = ray.data.from_items([
+        {"k": 1, "v": 10, "tag": "a1"},
+        {"k": 2, "v": 20, "tag": "a2"},
+    ])
+    b = ray.data.from_items([
+        {"kk": 1, "v": 100, "note": "b1"},
+        {"kk": 3, "v": 300, "note": "b3"},
+    ])
+    out = sql("select * from a right join b on k = kk",
+              tables={"a": a, "b": b}).to_pandas()
+    # left-first order, BOTH keys kept, right collisions suffixed
+    assert list(out.columns) == ["k", "v", "tag", "kk", "v_r", "note"]
+    out = out.sort_values("kk").reset_index(drop=True)
+    assert out["kk"].tolist() == [1, 3]         # right-only row kept
+    # left key is NULL on the unmatched right row (standard semantics)
+    assert out["k"].fillna(-1).tolist() == [1, -1]
+    assert out["v"].fillna(-1).tolist() == [10, -1]
+    assert out["v_r"].tolist() == [100, 300]
+    # qualified projection resolves both sides
+    q = sql("select a.v, b.v, b.kk from a right join b on k = kk",
+            tables={"a": a, "b": b}).to_pandas()
+    assert len(q.columns) == 3 and len(q) == 2
+
+
 def test_scalar_subquery_uncorrelated(ray_session):
     """Uncorrelated (SELECT ...) value expressions resolve at plan
     time; multi-row subqueries raise."""

@@ -555,8 +555,9 @@ def _q_minhash_pairs(sf_dir):
 
 def _q_minhash_dedup(sf_dir):
     """End-to-end near-dup dedup: drop the id_b side of every confirmed
-    pair via the distributed anti-join (rows-only; minhash candidates
-    are probabilistic)."""
+    pair via the distributed anti-join. Oracled: at this corpus the
+    LSH candidates achieve full recall, so the result equals the exact
+    word-3-gram Jaccard >= 0.5 drop set DuckDB computes."""
     from openmldb_ray.ops.dedup import dedup_minhash
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = dedup_minhash(docs, jaccard_threshold=0.5)
@@ -742,7 +743,8 @@ def _q_window_concat_keys(sf_dir):
 
 
 def _q_fz_window(sf_dir):
-    """fz_* window forms over events.props (rows-only check)."""
+    """fz_* window forms over events.props; oracled via DuckDB
+    string_agg/string_split with newest-first frame order."""
     from openmldb_ray.window import Agg, WindowSpec, window_agg
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "props"])
     spec = WindowSpec("user_id", "ts", preceding_rows=3)
@@ -761,7 +763,9 @@ def _q_fz_window(sf_dir):
 
 
 def _q_top_cate(sf_dir):
-    """top / *_cate string aggregates (rows-only; no ANSI-SQL form)."""
+    """top / *_cate string aggregates; oracled via DuckDB string_agg
+    over correlated frame subqueries matching the reference renderings
+    (hybridse/src/udf/containers.h:99-137)."""
     from openmldb_ray.window import Agg, WindowSpec, window_agg
     ev = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "value", "event_type"])
@@ -1366,7 +1370,114 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
           SELECT query_id, vec_id, rank, round(sim, 4) AS sim_r
           FROM ranked WHERE rank <= 10""",
-        # window_maxsize, langid_fingerprint, ann_approx, minhash_pairs,
-        # simhash_pairs: non-ANSI-SQL-expressible (MAXSIZE frame cap,
-        # heuristic model, FNV hashing, LSH) -> rows-only checks.
+        # minhash_pairs / ngram_jaccard / minhash_dedup: the oracle is
+        # the EXACT word-3-gram Jaccard set (distinct 3-word shingles,
+        # intersection-join, threshold). The engine's candidate stages
+        # (LSH bands / shingle anchors) are probabilistic recall aids;
+        # the verify stage computes the same exact Jaccard, so equality
+        # here checks both soundness (every emitted pair really passes
+        # the threshold, same value bit-for-bit) and full recall on
+        # this corpus (recall bounds stay pytest-covered).
+        "minhash_pairs": _NGRAM_JACCARD_CTE + """
+          SELECT id_a, id_b, jaccard FROM pairj
+          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+        "ngram_jaccard": _NGRAM_JACCARD_CTE + """
+          SELECT id_a, id_b, jaccard FROM pairj
+          WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+        "minhash_dedup": _NGRAM_JACCARD_CTE + """
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairj
+                               WHERE jaccard >= 0.5)""",
+        # top / *_cate renderings follow the reference's container
+        # output formats (hybridse/src/udf/containers.h:99-137):
+        # top = k values DESC comma-joined, *_cate = 'key:val' sorted
+        # by key asc; floats render %g-style when integral-free, avg
+        # always %.6f, counts as ints.
+        "top_cate": """
+          SELECT e.event_id, e.user_id, e.ts,
+            coalesce((
+              SELECT string_agg(CASE WHEN v = floor(v)
+                       THEN CAST(CAST(v AS BIGINT) AS VARCHAR)
+                       ELSE printf('%g', v) END, ',' ORDER BY v DESC)
+              FROM (SELECT value AS v FROM (
+                      SELECT value FROM events e2
+                      WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+                      ORDER BY e2.ts DESC LIMIT 11)
+                    WHERE value IS NOT NULL
+                    ORDER BY value DESC LIMIT 3)), '') AS top3,
+            (SELECT count(DISTINCT event_type) FROM (
+               SELECT event_type FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+               ORDER BY e2.ts DESC LIMIT 11)) AS dc_types,
+            coalesce((
+              SELECT string_agg(event_type || ':' ||
+                                CAST(cnt AS VARCHAR),
+                                ',' ORDER BY event_type)
+              FROM (SELECT event_type, count(*) AS cnt FROM (
+                      SELECT event_type, value FROM events e2
+                      WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+                      ORDER BY e2.ts DESC LIMIT 11)
+                    WHERE event_type IS NOT NULL
+                      AND value IS NOT NULL
+                    GROUP BY event_type)), '') AS cnt_by_type,
+            coalesce((
+              SELECT string_agg(event_type || ':' ||
+                                printf('%.6f', a),
+                                ',' ORDER BY event_type)
+              FROM (SELECT event_type, avg(value) AS a FROM (
+                      SELECT event_type, value FROM events e2
+                      WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+                      ORDER BY e2.ts DESC LIMIT 11)
+                    WHERE event_type IS NOT NULL
+                      AND value IS NOT NULL
+                    GROUP BY event_type)), '') AS avg_by_type
+          FROM events e""",
+        # fz_window_split counts concatenated per-frame splits;
+        # fz_join joins frame strings NEWEST-first (the reference
+        # window iterates instance-row back).
+        "fz_window": """
+          SELECT e.event_id,
+            (SELECT CAST(coalesce(sum(len(string_split(props, ','))),
+                                  0) AS BIGINT) FROM (
+               SELECT props FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+               ORDER BY e2.ts DESC LIMIT 4)
+             WHERE props IS NOT NULL) AS n_parts,
+            (SELECT coalesce(string_agg(props, '|' ORDER BY ts DESC),
+                             '') FROM (
+               SELECT props, ts FROM events e2
+               WHERE e2.user_id = e.user_id AND e2.ts <= e.ts
+               ORDER BY e2.ts DESC LIMIT 4)
+             WHERE props IS NOT NULL) AS joined
+          FROM events e""",
+        # window_maxsize was upgraded in r3; langid_fingerprint,
+        # ann_approx, simhash_pairs stay rows-only: non-ANSI-SQL-
+        # expressible (heuristic model, LSH/IVF recall, FNV simhash
+        # bit votes).
     }
+
+
+# Distinct word-3-gram sets per doc (str.split-equivalent whitespace
+# tokenization), intersection sizes via a gram self-join, exact
+# Jaccard per pair — the shared CTE for the near-dup oracles.
+_NGRAM_JACCARD_CTE = """
+  WITH ws AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'),
+                       w -> w <> '') AS w
+    FROM documents),
+  grams AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+    FROM ws, LATERAL (SELECT unnest(generate_series(
+                        1, greatest(len(w) - 2, 0))) AS i) t),
+  sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM grams a JOIN grams b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  pairj AS (
+    SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b)
+"""

@@ -22,6 +22,7 @@ from typing import Mapping, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
@@ -60,18 +61,29 @@ def grouped_aggregate(
         else:
             raise ValueError(f"unsupported aggregate kind {kind}")
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(keys, sort=False, dropna=False)
-        cols = {}
-        for part, (kind, col) in plan.items():
-            if kind == "count":
-                s = g.size() if col is None else g[col].count()
-            else:
-                s = getattr(g[col], kind)()
-            cols[part] = s
-        return pd.DataFrame(cols).reset_index()
+    # Arrow-native partial: one zero-copy hash group-by per batch
+    # (pa.Table.group_by handles sum/count/min/max natively) — no
+    # pandas conversion in the 100 TB combiner path. Identical
+    # (col, fn) requests share one kernel; null keys group like
+    # pandas dropna=False.
+    arrow_aggs: dict[tuple, list[str]] = {}
+    for part, (kind, col) in plan.items():
+        fn = "count_all" if (kind == "count" and col is None) else kind
+        arrow_aggs.setdefault((col, fn), []).append(part)
+    agg_list = [([] if col is None else col, fn)
+                for (col, fn) in arrow_aggs]
 
-    partials = ds.map_batches(partial, batch_format="pandas",
+    def partial(b: "pa.Table") -> "pa.Table":
+        res = b.group_by(keys, use_threads=False).aggregate(agg_list)
+        cols = {k: res[k] for k in keys}
+        for (col, fn), parts in arrow_aggs.items():
+            src = "count_all" if col is None else f"{col}_{fn}"
+            for part in parts:
+                cols[part] = res[src]
+        return pa.table(cols)
+    partial.__name__ = "grouped_agg_partial"
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=65536)
     reducers = []
     for part, (kind, _) in plan.items():

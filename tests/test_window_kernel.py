@@ -102,3 +102,41 @@ def test_rows_frame_ignores_time_gaps():
     spec = WindowSpec("k", "ts", preceding_rows=2)
     start, hist_end, self_in, _ = frame_bounds(ts, spec)
     assert start[2] == 0 and hist_end[2] == 2 and self_in[2]
+
+
+def test_distinct_count_vectorized_equals_loop():
+    """The range-add vectorized sliding distinct equals the per-row
+    loop fallback on floats-with-NaN, strings, and bool columns
+    (null_counts=False), and the non-monotone fallback agrees too."""
+    from openmldb_ray.window.kernel import (_distinct_count,
+                                            _distinct_count_loop)
+    rng = np.random.default_rng(7)
+    n = 400
+    for hv, v in [
+        (np.where(rng.random(n) < 0.1, np.nan,
+                  rng.integers(0, 12, n).astype(np.float64)),
+         np.where(rng.random(n) < 0.1, np.nan,
+                  rng.integers(0, 12, n).astype(np.float64))),
+        (np.array([f"s{i}" for i in rng.integers(0, 9, n)], dtype=object),
+         np.array([f"s{i}" for i in rng.integers(0, 9, n)], dtype=object)),
+    ]:
+        w = rng.integers(1, 30, n)
+        start = np.maximum(np.arange(n) - w, 0).astype(np.int64)
+        hist_end = np.arange(n, dtype=np.int64)
+        self_in = rng.random(n) < 0.8
+        for null_counts in (True, False):
+            got = _distinct_count(hv, v, start, hist_end, self_in,
+                                  null_counts)
+            exp = _distinct_count_loop(hv, v, start, hist_end, self_in,
+                                       null_counts)
+            np.testing.assert_allclose(got, exp)
+    # non-monotone hist_end exercises the loop fallback inside
+    # _distinct_count itself
+    hv = rng.integers(0, 5, 50).astype(np.float64)
+    v = rng.integers(0, 5, 50).astype(np.float64)
+    start = np.zeros(50, dtype=np.int64)
+    hist_end = rng.integers(0, 50, 50).astype(np.int64)
+    self_in = np.ones(50, dtype=bool)
+    got = _distinct_count(hv, v, start, hist_end, self_in, True)
+    exp = _distinct_count_loop(hv, v, start, hist_end, self_in, True)
+    np.testing.assert_allclose(got, exp)

@@ -161,12 +161,22 @@ def _q_last_join_asof(sf_dir):
                      left_ts="ts", payload=["value"])
 
 
-def _q_last_join_unique(sf_dir):
+def _q_last_join_multikey(sf_dir):
+    """Composite-key LAST JOIN (JoinPlan.scala:39-202 multi-column
+    equi-keys): the right side has UNIQUE (suppkey, returnflag) keys,
+    so LAST JOIN's pick-one is deterministic and equals a LEFT JOIN —
+    count/max payloads keep the values order-independent."""
+    from ray.data.aggregate import Count, Max
     from openmldb_ray.joins import last_join
-    left = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    right = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-    return last_join(left, right, on="o_custkey", right_on="c_custkey",
-                     payload=["c_name", "c_acctbal"])
+    left = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag"])
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_returnflag", "l_quantity"])
+    right = li.groupby(["l_suppkey", "l_returnflag"]).aggregate(
+        Count(alias_name="grp_cnt"),
+        Max("l_quantity", alias_name="grp_maxq"))
+    return last_join(left, right, on=["l_suppkey", "l_returnflag"],
+                     payload=["grp_cnt", "grp_maxq"])
 
 
 def _q_last_join_orderby(sf_dir):
@@ -899,7 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "backfill": _q_backfill,
         "last_join_asof": _q_last_join_asof,
-        "last_join_unique": _q_last_join_unique,
+        "last_join_multikey": _q_last_join_multikey,
         "last_join_orderby": _q_last_join_orderby,
         "groupby_agg": _q_groupby_agg,
         "groupby_agg_partial": _q_groupby_agg_partial,
@@ -1180,9 +1190,15 @@ def oracle_sql() -> dict[str, str]:
           ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                           WHERE event_type = 'purchase') r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
-        "last_join_unique": """
-          SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
-          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+        "last_join_multikey": """
+          SELECT l_orderkey, l_linenumber, l.l_suppkey, l.l_returnflag,
+                 grp_cnt, grp_maxq
+          FROM lineitem l LEFT JOIN (
+            SELECT l_suppkey, l_returnflag, count(*) AS grp_cnt,
+                   max(l_quantity) AS grp_maxq
+            FROM lineitem GROUP BY l_suppkey, l_returnflag) g
+          ON l.l_suppkey = g.l_suppkey
+             AND l.l_returnflag = g.l_returnflag""",
         "last_join_orderby": """
           SELECT c_custkey, c_name, r.value AS value
           FROM customer LEFT JOIN (

@@ -156,3 +156,31 @@ def column_to_exact(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         mask = arr.is_null().to_numpy(zero_copy_only=False)
         out[mask] = None
     return out
+
+
+def exact_factorize(values: np.ndarray, return_uniques: bool = False):
+    """int64 codes for ``values`` with NULL/NaN as -1, equal values
+    sharing a code (dense, first-seen order). Unlike ``pd.factorize``,
+    exact on object strings containing an embedded NUL (pandas'
+    StringHashTable hashes C strings, so 'a\\x00b' and 'a\\x00c' would
+    conflate). With ``return_uniques`` also returns the unique values
+    (numpy, first-seen order, nulls excluded)."""
+    try:
+        arr = pa.array(values, from_pandas=True)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        codes, uniq = pd.factorize(values, use_na_sentinel=True)
+        codes = np.asarray(codes, dtype=np.int64)
+        return (codes, np.asarray(uniq)) if return_uniques else codes
+    import pyarrow.compute as pc
+    enc = pc.dictionary_encode(arr)
+    idx = enc.indices
+    if idx.null_count:
+        codes = np.asarray(
+            idx.to_numpy(zero_copy_only=False), dtype=np.float64)
+        codes = np.where(np.isnan(codes), -1, codes).astype(np.int64)
+    else:
+        codes = np.asarray(idx.to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+    if not return_uniques:
+        return codes
+    return codes, enc.dictionary.to_numpy(zero_copy_only=False)

@@ -47,10 +47,24 @@ Condition = Callable[[dict, dict], np.ndarray]
 def _keys_np(tbl: pa.Table, cols: list[str]) -> np.ndarray:
     if len(cols) == 1:
         return tbl[cols[0]].to_numpy(zero_copy_only=False)
-    # composite key -> single string key (rare path; all engine call
-    # sites use single-column joins)
-    return tbl.select(cols).to_pandas().astype(str) \
-        .agg("\x1f".join, axis=1).to_numpy()
+    # composite key -> one fused string per row, vectorized in Arrow.
+    # (hash_join._key_codes' dictionary-encode fold needs both sides
+    # encoded together; the broadcast index sees left batches later, so
+    # the encoding must be side-independent.) A NULL component becomes
+    # a sentinel, so (1, NULL) matches (1, NULL) but not (2, NULL) —
+    # per-column NULL==NULL, consistent with the single-column
+    # null-group semantics (JoinPlan.scala:39-202 multi-column keys).
+    import pyarrow.compute as pc
+    parts = []
+    for c in cols:
+        col = tbl[c].combine_chunks()
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
+        parts.append(col.cast(pa.string()))
+    fused = pc.binary_join_element_wise(
+        *parts, "\x1f", null_handling="replace",
+        null_replacement="\x00\x1eNULL")
+    return fused.to_numpy(zero_copy_only=False)
 
 
 class _RightIndex:
@@ -233,10 +247,14 @@ def _broadcast_join_batch(batch: pa.Table, idx: "_RightIndex",
         lts = batch[left_ts].to_numpy(zero_copy_only=False)
         m = np.flatnonzero(matched)
         if len(m):
-            codes, uniques = pd.factorize(pd.Series(keys[m]), sort=False)
-            for gi in range(len(uniques)):
+            # group by the index slice START (int64) rather than by key
+            # value: same slice <=> same key, and it dodges pandas'
+            # C-string hashing, which truncates object strings at an
+            # embedded NUL and conflates distinct keys
+            uniq_lo, codes = np.unique(lo[m], return_inverse=True)
+            for gi, glo in enumerate(uniq_lo.tolist()):
                 rows = m[codes == gi]
-                glo, ghi = int(lo[rows[0]]), int(hi[rows[0]])
+                ghi = int(hi[rows[0]])
                 pos = np.searchsorted(idx.ts[glo:ghi], lts[rows],
                                       side="right")
                 end[rows] = glo + pos
@@ -378,11 +396,24 @@ def _shuffle_last_join(left, right, on, right_on, order_by, descending,
     vectorized index kernel per bucket (Arrow blocks end to end).
     Right rows ride in the left key columns + appended right-only
     columns, null-padded so the union is schema-aligned."""
+    def _pa_types(schema) -> dict:
+        # pandas-block datasets report numpy dtypes; normalize so the
+        # null-pad columns below can be built (same dance as _collect)
+        out = {}
+        for nm, ty in zip(schema.names, schema.types):
+            if not isinstance(ty, pa.DataType):
+                try:
+                    ty = pa.from_numpy_dtype(ty)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    ty = pa.string()
+            out[nm] = ty
+        return out
+
     lschema = left.schema()
     lcols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
+    ltypes = _pa_types(lschema)
     rschema = right.schema()
-    rtypes = dict(zip(rschema.names, rschema.types))
+    rtypes = _pa_types(rschema)
     rneed = list(dict.fromkeys(right_on + ([order_by] if order_by else [])
                                + payload))
     # right-only columns appended after the left schema, prefixed to

@@ -289,7 +289,7 @@ def _distinct_count(hv, v, start, hist_end, self_in,
 
     NULL counts as one distinct value unless ``null_counts`` is False
     (bool columns — test_udaf_function.yaml ids 5 vs 6)."""
-    import pandas as pd
+    from openmldb_ray.io import exact_factorize
     n = len(start)
     m = len(hv)
     s = np.asarray(start, dtype=np.int64)
@@ -300,8 +300,7 @@ def _distinct_count(hv, v, start, hist_end, self_in,
         return _distinct_count_loop(hv, v, start, hist_end, self_in,
                                     null_counts)
     combined = np.concatenate([np.asarray(hv), np.asarray(v)])
-    codes, _ = pd.factorize(combined)
-    codes = np.asarray(codes, dtype=np.int64)
+    codes = exact_factorize(combined)
     if null_counts:
         # nulls merge into one ordinary value
         codes[codes < 0] = (codes.max() + 1) if (codes >= 0).any() else 0

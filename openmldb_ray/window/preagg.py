@@ -42,7 +42,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from openmldb_ray.io import column_to_float, order_to_int64
+from openmldb_ray.io import column_to_float, exact_factorize, order_to_int64
 from openmldb_ray.window.spec import Agg, WindowSpec
 
 PREAGG_COLS = ("rows", "cnt", "sum", "min", "max")
@@ -56,7 +56,7 @@ def _bucket_partials(b: pa.Table, key: str, order_by: str,
     kv = b[key].to_numpy(zero_copy_only=False)
     ts, v, kv = ts[keep], v[keep], kv[keep]
     bucket = ts // width
-    codes, uniq_keys = pd.factorize(kv, sort=False)
+    codes, uniq_keys = exact_factorize(kv, return_uniques=True)
     order = np.lexsort((bucket, codes))
     vs, bs, ks = v[order], bucket[order], codes[order]
     changed = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])

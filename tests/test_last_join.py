@@ -145,3 +145,37 @@ def test_last_join_non_equi_condition(ray_session):
             .sort_values("cap").reset_index(drop=True)
         # cap=15: only amt=12 qualifies; cap=100: last qualifying = 99
         assert out["amt"].tolist() == [12, 99]
+
+
+def test_composite_key_asof(ray_session, mode):
+    """Multi-column equi-keys (JoinPlan.scala:39-202) through the
+    vectorized Arrow key fusion: as-of pick over a two-column key,
+    NULL key components match NULL per column but (1,NULL)!=(2,NULL),
+    and unmatched left rows keep NULL payloads."""
+    lrows = pd.DataFrame({
+        "lid": np.arange(8),
+        "k1": [1, 1, 2, 2, None, 1, 3, None],
+        "k2": ["a", "b", "a", "a", "a", None, "a", None],
+        "lts": [10, 10, 10, 5, 10, 10, 10, 10],
+    })
+    rrows = pd.DataFrame({
+        "k1": [1, 1, 1, 2, None, 1, 9, None],
+        "k2": ["a", "a", "b", "a", "a", None, "a", None],
+        "rts": [1, 7, 3, 6, 2, 4, 1, 9],
+        "pay": [100., 101., 102., 103., 104., 105., 106., 107.],
+    })
+    left = ray.data.from_pandas(lrows)
+    right = ray.data.from_pandas(rrows)
+    got = last_join(left, right, on=["k1", "k2"], order_by="rts",
+                    left_ts="lts", payload=["pay"],
+                    broadcast=(mode == "broadcast"),
+                    num_buckets=4).to_pandas()
+    got = got.sort_values("lid").reset_index(drop=True)
+    # expected: latest rts <= lts per composite key, NULL==NULL per col
+    exp = [101., 102., 103., None, 104., 105., None, 107.]
+    for i, e in enumerate(exp):
+        g = got.loc[i, "pay"]
+        if e is None:
+            assert pd.isnull(g), (i, g)
+        else:
+            assert g == e, (i, g, e)

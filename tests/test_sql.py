@@ -26,7 +26,7 @@ VERBATIM = [
     # (Sunday=0, so the SQL says dayofweek(ts)+1) while this engine's
     # dayofweek follows the reference (Sunday=1) — the same string
     # cannot produce equal values under both engines
-    "last_join_asof", "last_join_unique", "scalar_string_math",
+    "last_join_asof", "last_join_multikey", "scalar_string_math",
 ]
 
 

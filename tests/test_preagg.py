@@ -152,3 +152,101 @@ def test_sharded_store_randomized(ray_session, seed, n_shards, width,
                 assert float(e) == pytest.approx(float(gg), rel=1e-12), \
                     (a.name, req, e, gg)
     store.shutdown()
+
+
+WHERE_AGGS = [Agg("count_where", None, "nw", where="f"),
+              Agg("count_where", "v", "cw", where="f"),
+              Agg("sum_where", "v", "sw", where="f"),
+              Agg("avg_where", "v", "aw", where="f"),
+              Agg("min_where", "v", "mnw", where="f"),
+              Agg("max_where", "v", "mxw", where="f")]
+
+
+def _history_where(n=5000, keys=3, seed=3):
+    """_history plus a boolean filter column with NULLs (a NULL
+    condition never matches — test_udaf_function.yaml id 45)."""
+    hist = _history(n, keys, seed)
+    rng = np.random.default_rng(seed + 7)
+    f = rng.random(n) < 0.4
+    mask = rng.random(n) < 0.1
+    return hist.append_column(
+        "f", pa.array(f, type=pa.bool_(), mask=mask))
+
+
+@pytest.mark.parametrize("width,rng_w", [(1000, 20_000), (777, 3_333)])
+def test_preagg_where_channel_equals_raw(ray_session, width, rng_w):
+    """count_where/sum_where/avg_where/min_where/max_where served from
+    the filtered bucket channel (aggregator.h:40-52 count_where
+    coverage) must match the raw kernel path bit for bit."""
+    hist = _history_where()
+    ds = ray.data.from_arrow(hist)
+    preagg = build_preagg(ds, "k", "ts", "v", width, filter_col="f")
+    store = LongWindowStore(preagg, hist, "k", "ts", "v", width,
+                            filter_col="f")
+    spec = WindowSpec("k", "ts", preceding_range=rng_w)
+    aggs = AGGS + WHERE_AGGS
+
+    rng = np.random.default_rng(11)
+    kv = hist["k"].to_numpy(zero_copy_only=False)
+    tv = hist["ts"].to_numpy(zero_copy_only=False)
+    for i in rng.choice(hist.num_rows, 50, replace=False):
+        k = kv[i]
+        req = {"k": k, "ts": int(tv[i]) + int(rng.integers(0, 3)),
+               "v": float(rng.integers(0, 1000)),
+               "f": [True, False, None][int(rng.integers(0, 3))]}
+        sub = hist.filter(pa.compute.equal(hist["k"], k))
+        exp = request_features(req, sub, spec, aggs)
+        got = store.features(req, spec, aggs)
+        for a in aggs:
+            e, g = exp[a.name], got[a.name]
+            if isinstance(e, float) and np.isnan(e):
+                assert np.isnan(g), (a.name, e, g)
+            else:
+                assert float(e) == pytest.approx(float(g), rel=1e-12), \
+                    (a.name, e, g)
+
+
+def test_preagg_where_sharded_parity_and_guards(ray_session):
+    """Sharded store with a filter channel matches the single store;
+    *_where over an un-preaggregated column refuses (raw path)."""
+    from openmldb_ray.window.preagg import ShardedLongWindowStore
+    width, rng_w = 1000, 15_000
+    hist = _history_where(n=6000, keys=9, seed=29)
+    ds = ray.data.from_arrow(hist)
+    preagg = build_preagg(ds, "k", "ts", "v", width, filter_col="f")
+    single = LongWindowStore(preagg, hist, "k", "ts", "v", width,
+                             filter_col="f")
+    sharded = ShardedLongWindowStore(
+        build_preagg(ds, "k", "ts", "v", width, filter_col="f"), ds,
+        "k", "ts", "v", width, n_shards=3, filter_col="f")
+    spec = WindowSpec("k", "ts", preceding_range=rng_w)
+    aggs = AGGS + WHERE_AGGS
+
+    rng = np.random.default_rng(31)
+    kv = hist["k"].to_numpy(zero_copy_only=False)
+    tv = hist["ts"].to_numpy(zero_copy_only=False)
+    reqs = [{"k": kv[i], "ts": int(tv[i]) + int(rng.integers(0, 3)),
+             "v": float(rng.integers(0, 1000)),
+             "f": bool(rng.integers(0, 2))}
+            for i in rng.choice(hist.num_rows, 40, replace=False)]
+    reqs.append({"k": "never-seen", "ts": 50_000, "v": 7.0, "f": True})
+    got = sharded.features_batch(reqs, spec, aggs)
+    for req, g in zip(reqs, got):
+        exp = single.features(req, spec, aggs)
+        for a in aggs:
+            e, gg = exp[a.name], g[a.name]
+            if isinstance(e, float) and np.isnan(e):
+                assert np.isnan(gg), (a.name, req)
+            else:
+                assert float(e) == float(gg), (a.name, req, e, gg)
+    sharded.shutdown()
+
+    # guard 1: store built WITHOUT filter_col refuses *_where
+    plain = LongWindowStore(build_preagg(ds, "k", "ts", "v", width),
+                            hist, "k", "ts", "v", width)
+    with pytest.raises(NotImplementedError):
+        plain.features(reqs[0], spec, WHERE_AGGS)
+    # guard 2: *_where over a different column refuses
+    with pytest.raises(NotImplementedError):
+        single.features(reqs[0], spec,
+                        [Agg("sum_where", "v", "x", where="v")])

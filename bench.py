@@ -30,6 +30,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
+TEXT_DOCS = int(os.environ.get("GRAFT_TEXT_DOCS", "2000000"))
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "32000000"))
 ONLY = os.environ.get("GRAFT_BENCH_ONLY", "")
 CORPUS_CACHE = f"/tmp/openmldb_ray_bench/corpus_{BENCH_DOCS}"
@@ -184,6 +185,43 @@ def bench_long_window_preagg() -> tuple[float, int]:
     return wall, len(reqs)
 
 
+def _prepare_text_corpus() -> str:
+    from openmldb_ray.pipelines.synth import synth_text_corpus_parquet
+    n = TEXT_DOCS
+    return synth_text_corpus_parquet(
+        f"/tmp/openmldb_ray_bench/textcorpus_{n}", n)
+
+
+def bench_dedup_paragraphs() -> tuple[float, int]:
+    """Paragraph-level exact dedup over the synthetic text corpus
+    (VERDICT r3 item 7): explode to slim (doc,idx,hash) rows -> first
+    occurrence groupby -> bucketed rebuild join. No driver-side
+    materialization; only per-doc rebuild moves text."""
+    from openmldb_ray.io import read_parquet_per_file
+    from openmldb_ray.ops.corpus_ops import dedup_paragraphs
+    path = _prepare_text_corpus()
+    docs = read_parquet_per_file(path, file_extensions=["parquet"],
+                                 columns=["doc_id", "text"])
+    t0 = time.time()
+    rows = dedup_paragraphs(docs, "text", "doc_id").count()
+    return time.time() - t0, rows
+
+
+def bench_decontaminate() -> tuple[float, int]:
+    """Benchmark decontamination over the synthetic text corpus: eval
+    n-gram hash set broadcast once, zero-shuffle vectorized filter."""
+    from openmldb_ray.io import read_parquet_per_file
+    from openmldb_ray.ops.corpus_ops import decontaminate
+    from openmldb_ray.pipelines.synth import eval_paragraph_texts
+    path = _prepare_text_corpus()
+    ev = eval_paragraph_texts()
+    docs = read_parquet_per_file(path, file_extensions=["parquet"],
+                                 columns=["doc_id", "text"])
+    t0 = time.time()
+    rows = decontaminate(docs, ev, "text").count()
+    return time.time() - t0, rows
+
+
 def bench_minhash_pairs() -> tuple[float, int]:
     """MinHash+LSH near-duplicate pairs over sf documents: shingle ->
     minhash -> banded buckets -> bucket-local candidate pairs ->
@@ -283,6 +321,8 @@ def run_all() -> dict:
         "dedup_exact": bench_dedup_exact,
         "ann_bruteforce": bench_ann,
         "minhash_pairs": bench_minhash_pairs,
+        "dedup_paragraphs": bench_dedup_paragraphs,
+        "decontaminate": bench_decontaminate,
         "window_tslog_blockwise": bench_window_tslog,
         "long_window_preagg": bench_long_window_preagg,
     }

@@ -49,19 +49,36 @@ def dedup_exact(ds: ray.data.Dataset, text_col: str = "text",
                             batch_format="pyarrow", batch_size=4096,
                             concurrency=concurrency)
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
-                      [:1])
-    first.__name__ = "keep_first"
+    # bucket by fingerprint; ONE vectorized keep-first kernel per
+    # bucket (per-key map_groups costs a Python call per distinct text)
+    num_buckets = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = b["fingerprint"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return b.append_column("__bkt__", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int32)))
+    tag.__name__ = "tag_fp_bucket"
+
+    def first_per_fp(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("fingerprint", "ascending"), (id_col, "ascending")])
+        s = g.take(order)
+        fp = s["fingerprint"].to_numpy(zero_copy_only=False)
+        firsts = np.concatenate(([True], fp[1:] != fp[:-1])) \
+            if len(fp) else np.empty(0, bool)
+        return s.filter(pa.array(firsts)) \
+            .drop_columns(["fingerprint", "__bkt__"])
+    first_per_fp.__name__ = "keep_first"
 
     from openmldb_ray.context import shuffle_partitions
+    tagged = hashed.map_batches(tag, batch_format="pyarrow")
     try:
-        g = hashed.groupby("fingerprint",
-                           num_partitions=shuffle_partitions(64))
+        g = tagged.groupby("__bkt__",
+                           num_partitions=shuffle_partitions(num_buckets))
     except TypeError:
-        g = hashed.groupby("fingerprint")
-    return g.map_groups(
-        first, batch_format="pyarrow").drop_columns(["fingerprint"])
+        g = tagged.groupby("__bkt__")
+    return g.map_groups(first_per_fp, batch_format="pyarrow")
 
 
 class MinHasher:

@@ -89,3 +89,98 @@ def synth_corpus_parquet(path: str, num_docs: int, num_sources: int = 64,
     if not is_complete(path):
         checkpoint(synth_corpus(num_docs, num_sources, hot_frac), path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# synthetic TEXT corpus (for the corpus-hygiene benches: paragraph
+# dedup, decontamination). Docs are assembled from a shared pool of
+# distinct paragraphs with a small "boilerplate" hot head that appears
+# in ~20% of paragraph slots — the realistic shape for paragraph-level
+# dedup (C4-style repeated spans). Row i is a pure function of i.
+# ---------------------------------------------------------------------------
+
+_TEXT_VOCAB = 8192
+_POOL_SIZE = 200_000
+_HOT_PARAS = 64
+
+
+def _para_pool(pool_size: int = _POOL_SIZE) -> np.ndarray:
+    """Deterministic pool of distinct paragraphs (12-32 words each),
+    built once per worker process and cached."""
+    cached = getattr(_para_pool, "_cache", None)
+    if cached is not None and len(cached) == pool_size:
+        return cached
+    idx = np.arange(pool_size, dtype=np.uint64)
+    h = _splitmix64(idx ^ np.uint64(0x5151DE57A11))
+    nw = (12 + (h % np.uint64(21))).astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(nw)))
+    wkey = _splitmix64(np.arange(off[-1], dtype=np.uint64)
+                       ^ np.uint64(0xABCDEF)) % np.uint64(_TEXT_VOCAB)
+    # Arrow-vectorized assembly: dictionary-decode word ids to a flat
+    # string array, list-wrap per paragraph, binary_join in C++. A
+    # leading "p<idx>" word makes paragraphs pairwise-distinct.
+    import pyarrow.compute as pc
+    word_dict = pa.array([f"w{j}" for j in range(_TEXT_VOCAB)])
+    flat = pa.DictionaryArray.from_arrays(
+        pa.array(wkey.astype(np.int32)), word_dict).cast(pa.string())
+    lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), flat)
+    body = pc.binary_join(lists, " ")
+    prefix = pa.array([f"p{p}" for p in range(pool_size)])
+    pool_str = pc.binary_join_element_wise(prefix, body, " ")
+    pool = pool_str.to_numpy(zero_copy_only=False)
+    _para_pool._cache = pool
+    return pool
+
+
+def gen_text_batch(batch: pa.Table, pool_size: int = _POOL_SIZE,
+                   num_sources: int = 16) -> pa.Table:
+    i = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    pool = _para_pool(pool_size)
+    h = _splitmix64(i ^ np.uint64(0x7E47C0FFEE))
+    k = (2 + (h % np.uint64(4))).astype(np.int64)          # 2..5 paras
+    off = np.concatenate(([0], np.cumsum(k)))
+    slot_doc = np.repeat(i, k)
+    slot_j = np.arange(off[-1], dtype=np.uint64) - np.repeat(
+        off[:-1].astype(np.uint64), k)
+    hs = _splitmix64(slot_doc * np.uint64(8) + slot_j)
+    hot = (hs % np.uint64(5)) == 0                          # ~20% slots
+    pidx = np.where(hot, hs % np.uint64(_HOT_PARAS),
+                    hs % np.uint64(pool_size)).astype(np.int64)
+    paras = pool[pidx]
+    texts = ["\n\n".join(paras[lo:hi])
+             for lo, hi in zip(off[:-1], off[1:])]
+    src = (h % np.uint64(num_sources)).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array([f"d{int(x):09d}" for x in i], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array([f"s{int(s):02d}" for s in src], pa.string()),
+    })
+
+
+def synth_text_corpus(num_docs: int,
+                      override_num_blocks: int | None = None
+                      ) -> ray.data.Dataset:
+    ds = ray.data.range(num_docs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen_text_batch, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+def synth_text_corpus_parquet(path: str, num_docs: int) -> str:
+    """Generate once into ``path`` (skipped if complete); returns path."""
+    from openmldb_ray.state.checkpoint import checkpoint, is_complete
+    if not is_complete(path):
+        checkpoint(synth_text_corpus(num_docs), path)
+    return path
+
+
+def eval_paragraph_texts(n_docs: int = 100, paras_per_doc: int = 4,
+                         start: int = 1000) -> list[str]:
+    """Deterministic 'benchmark eval set' built from pool paragraphs
+    ``start..start+n_docs*paras_per_doc`` — guaranteed to overlap the
+    corpus, so decontamination does real work."""
+    pool = _para_pool()
+    out = []
+    for d in range(n_docs):
+        lo = start + d * paras_per_doc
+        out.append("\n\n".join(pool[lo:lo + paras_per_doc]))
+    return out

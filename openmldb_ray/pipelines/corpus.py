@@ -285,12 +285,17 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
     import time
     t0 = time.time()
     slim = corpus.select_columns(["doc_id", "n_tok", "source"])
+    pinned = False
     if pin_dir is not None:
         from openmldb_ray.state.checkpoint import checkpoint
         slim = checkpoint(slim, pin_dir)
-    elif pin:
-        slim = slim.materialize()
-        _phase_log("slim pin (read+materialize)", t0)
+        pinned = True
+    # pin (the in-memory mode) is DEFERRED into the blockwise call:
+    # blockwise pass 1 rides the pin materialize (fuse_pin — one read
+    # serves the pin and the summaries; the separate summary map cost
+    # ~1s of the 32M-doc fixed budget). On refusal the pinned dataset
+    # comes back on the exception for the shuffle fallback; when the
+    # blockwise plan is disabled the pin happens below as before.
     # pin=False: the multi-consumer passes (summary+eval, or
     # hot-detect+cold+hot) re-read the source instead of paying an
     # object-store materialize. A/B at 2M docs/32cpus: pinned 3.2-3.9s
@@ -307,14 +312,22 @@ def corpus_features_skewaware(corpus: ray.data.Dataset,
         specs = [(ROWS_SPEC, FEATURES), (RANGE_SPEC, RANGE_FEATURES)]
         try:
             out = blockwise_corpus_features(slim, specs,
-                                            asof_modulo=asof_modulo)
+                                            asof_modulo=asof_modulo,
+                                            fuse_pin=pin and not pinned)
             _phase_log("blockwise plan (summaries+assembly)", t0)
             return out.materialize() if materialize else out
         except _NotPresorted as e:
             if blockwise == "require":
                 raise
+            if getattr(e, "pinned", None) is not None:
+                slim = e.pinned
+                pinned = True
             _phase_log(f"blockwise refused ({e}); shuffle fallback", t0)
             t0 = time.time()
+    if pin and not pinned:
+        slim = slim.materialize()
+        _phase_log("slim pin (read+materialize)", t0)
+        t0 = time.time()
     if num_buckets is None:
         # resolve HERE where the slim size is exactly known (pinned) —
         # downstream lazy branches would fall back to the raw-file

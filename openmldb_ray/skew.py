@@ -467,8 +467,8 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
     at = 0
     for k, plan in plans.items():
         m = {}
-        for first, (off, hts, hvals, dim) in plan.items():
-            m[first] = (off, at, at + len(hts), dim)
+        for first, (off, hts, hvals, dim, n) in plan.items():
+            m[first] = (off, at, at + len(hts), dim, n)
             ts_parts.append(hts)
             val_parts.append(hvals)
             at += len(hts)
@@ -504,7 +504,8 @@ def _assemble_offsets(summary_rows: list[dict], tail_rows: int,
     hist_vals = np.empty(0, dtype=np.int64)
     dim_carry = (-1, 0)
     for r in rows:
-        out[r["first_doc"]] = (offset, hist_ts, hist_vals, dim_carry)
+        out[r["first_doc"]] = (offset, hist_ts, hist_vals, dim_carry,
+                               int(r["n_rows"]))
         bt = np.asarray(r["tail_ts"], dtype=np.int64) + offset
         bv = np.asarray(r["tail_vals"], dtype=np.int64)
         hist_ts = np.concatenate([hist_ts, bt])
@@ -563,7 +564,7 @@ class _BlockWindow:
         if b.num_rows == 0:
             return self._empty(b)
         first = b[self.order_col][0].as_py()
-        offset, hist_ts, hist_vals, dim_carry = self.plan[first]
+        offset, hist_ts, hist_vals, dim_carry, _n = self.plan[first]
         v = b[self.value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         local_ts = np.concatenate(([0], np.cumsum(v)[:-1])) + offset
         nh, nb = len(hist_ts), len(v)
@@ -721,7 +722,10 @@ class _MultiSummary:
             t = self.inner(b2.slice(lo, hi - lo))
             outs.append(t.append_column(
                 "__src__", pa.array([k], type=pa.string())))
-        return pa.concat_tables(outs)
+        # one chunk per column: a per-segment-chunked table costs
+        # per-BUFFER (de)serialization downstream — 16k chunks measured
+        # 13s to move 23 MiB of summaries
+        return pa.concat_tables(outs).combine_chunks()
 
 
 class _MultiBlockWindow:
@@ -755,8 +759,8 @@ class _MultiBlockWindow:
                 metas, big_ts, big_vals = payload
                 payload = {
                     k: {first: (off, big_ts[lo:hi], big_vals[lo:hi],
-                                dim)
-                        for first, (off, lo, hi, dim) in m.items()}
+                                dim, n)
+                        for first, (off, lo, hi, dim, n) in m.items()}
                     for k, m in metas.items()}
             self._plans = payload
         return self._plans
@@ -769,12 +773,78 @@ class _MultiBlockWindow:
         b2, segs = _entity_segments(b, self.key_col, self.order_col,
                                     self.cuts)
         outs = []
+        ocol = b2[self.order_col]
         for lo, hi, k in segs:
-            bw = _BlockWindow(self.plans[k], self.specs_aggs,
+            plan_k = self.plans.get(k)
+            if plan_k is None:
+                raise _NotPresorted(f"key {k!r} missing from plan")
+            bw = _BlockWindow(plan_k, self.specs_aggs,
                               self.value_col, self.order_col,
                               self.key_col, k, self.asof_modulo)
-            outs.append(bw(b2.slice(lo, hi - lo)))
+            # walk the segment at plan-FRAGMENT boundaries: the plan
+            # was summarized per source fragment (e.g. row-group
+            # batches under the fused pin), and the pinned blocks may
+            # have merged consecutive fragments — each piece evaluates
+            # with its own (offset, history) entry, which is exactly
+            # pass 2 on the unmerged layout. A fragment split across
+            # blocks (single batch > target block size) cannot be
+            # reconstructed and fails loudly.
+            pos = lo
+            while pos < hi:
+                f = ocol[pos].as_py()
+                ent = plan_k.get(f)
+                if ent is None:
+                    raise _NotPresorted(
+                        f"fragment starting at {f!r} (key {k!r}) "
+                        f"missing from blockwise plan")
+                n = ent[4]
+                if pos + n > hi:
+                    raise _NotPresorted(
+                        f"fragment at {f!r} (key {k!r}, {n} rows) is "
+                        f"split across blocks")
+                outs.append(bw(b2.slice(pos, n)))
+                pos += n
         return pa.concat_tables(outs)
+
+
+@ray.remote(num_cpus=0)
+class _SummaryCollector:
+    """Side-channel for the fused pin+summary pass: map tasks push one
+    small summary table per block; ``drain`` hands the concatenation to
+    the assembly task without a second pass over the data."""
+
+    def __init__(self):
+        self._tables = []
+        self._max_batch_bytes = 0
+
+    def add(self, t, batch_bytes: int = 0) -> None:
+        self._tables.append(t)
+        if batch_bytes > self._max_batch_bytes:
+            self._max_batch_bytes = batch_bytes
+
+    def stats(self) -> tuple[int, int]:
+        return len(self._tables), self._max_batch_bytes
+
+    def drain(self):
+        if not self._tables:
+            return None
+        return pa.concat_tables(self._tables).combine_chunks()
+
+
+class _SummaryTap:
+    """Identity map that summarizes each block as a side effect — fuses
+    blockwise pass 1 into the slim-pin materialize (one read serves
+    both). The blocking ``ray.get`` on ``add`` guarantees every summary
+    landed before ``materialize()`` returns."""
+
+    def __init__(self, collector, summarizer):
+        self.collector = collector
+        self.summarizer = summarizer
+        self.__name__ = "pin_with_summaries"
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ray.get(self.collector.add.remote(self.summarizer(b), b.nbytes))
+        return b
 
 
 def blockwise_corpus_features(
@@ -787,6 +857,7 @@ def blockwise_corpus_features(
     plan_budget_bytes: int = 1 << 30,
     max_refine_rounds: int = 4,
     min_segment_rows: int = 4,
+    fuse_pin: bool = False,
 ) -> ray.data.Dataset:
     """ZERO-SHUFFLE corpus window features over a verified
     entity-ordered layout — the scale plan for append-only /
@@ -828,28 +899,74 @@ def blockwise_corpus_features(
     import time
 
     from openmldb_ray.pipelines.corpus import _phase_log
+    # fuse_pin: the caller hands a LAZY slim projection; pass 1 rides
+    # the pin materialize (one parquet read serves both the pin and
+    # the summaries). The tap summarizes per map BATCH — under read
+    # fusion that is a source FRAGMENT (row-group batch), finer than
+    # the pinned output blocks, which merge consecutive fragments per
+    # task. Pass 2 handles that: plan entries carry n_rows and each
+    # segment is walked piece-by-piece at fragment boundaries. The one
+    # layout the plan cannot survive is a fragment SPLIT across output
+    # blocks, which only happens when a single batch exceeds the block
+    # size target — guarded here by refusing the fused summaries (and
+    # re-summarizing from the pinned copy) when any batch came close.
+    # On plan refusal the pinned dataset rides out on the exception
+    # (``e.pinned``) so the shuffle fallback doesn't re-read the
+    # source.
+    fused_refs = None
+    if fuse_pin:
+        _t = time.time()
+        collector = _SummaryCollector.remote()
+        tap = _SummaryTap(collector, _MultiSummary(
+            value_col, order_col, key_col, tail_rows, tail_range,
+            asof_modulo, cuts=None))
+        ds = ds.map_batches(tap, batch_format="pyarrow",
+                            batch_size=None,
+                            zero_copy_batch=True).materialize()
+        n_tap, max_bytes = ray.get(collector.stats.remote())
+        from ray.data.context import DataContext
+        budget = DataContext.get_current().target_max_block_size \
+            or (128 << 20)
+        if max_bytes < budget // 2:
+            fused_refs = [collector.drain.remote()]
+        _phase_log(
+            f"blockwise pin+summary fused ({n_tap} fragments, max "
+            f"{max_bytes >> 20} MiB"
+            f"{'' if fused_refs else ' — OVERSIZED, re-summarizing'})",
+            _t)
+
+    def _raise(msg: str):
+        err = _NotPresorted(msg)
+        err.pinned = ds if fuse_pin else None
+        raise err
+
     cuts: dict | None = None
     plan_ref = None
     for _round in range(max_refine_rounds):
         _t = time.time()
-        summaries = ds.map_batches(
-            _MultiSummary(value_col, order_col, key_col, tail_rows,
-                          tail_range, asof_modulo, cuts=cuts),
-            batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True)
-        # coalesce the per-block summary tablets into a handful of
-        # blocks BEFORE shipping refs: ray.get of ~200 tiny Arrow
-        # tables inside the assembly task measured 2.2s of per-object
-        # overhead vs ~0.1s for the same bytes in 2 blocks
-        summaries = summaries.map_batches(
-            lambda t: t, batch_format="pyarrow",
-            batch_size=1 << 20).materialize()
-        _phase_log(f"blockwise summary map r{_round}", _t)
+        if _round == 0 and fused_refs is not None:
+            table_refs = fused_refs
+        else:
+            summaries = ds.map_batches(
+                _MultiSummary(value_col, order_col, key_col, tail_rows,
+                              tail_range, asof_modulo, cuts=cuts),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+            # coalesce the per-block summary tablets into a handful of
+            # blocks BEFORE shipping refs: ray.get of ~200 tiny Arrow
+            # tables inside the assembly task measured 2.2s of
+            # per-object overhead vs ~0.1s for the same bytes in 2
+            # blocks
+            summaries = summaries.map_batches(
+                lambda t: t, batch_format="pyarrow",
+                batch_size=1 << 20).materialize()
+            table_refs = list(summaries.to_arrow_refs())
+            _phase_log(f"blockwise summary map r{_round}", _t)
         _t2 = time.time()
         meta_ref, payload_ref = _assemble_task.options(
             num_returns=2).remote(
             tail_rows, tail_range, min_segment_rows,
-            plan_budget_bytes, list(summaries.to_arrow_refs()))
+            plan_budget_bytes, table_refs)
         meta = ray.get(meta_ref)
         _phase_log(f"blockwise assembly r{_round} "
                    f"({meta.get('nseg')} segs, {meta['status']}, "
@@ -859,7 +976,7 @@ def blockwise_corpus_features(
             plan_ref = payload_ref
             break
         if meta["status"] == "refuse":
-            raise _NotPresorted(meta["msg"])
+            _raise(meta["msg"])
         # "overlap": every segment boundary becomes a cut — firsts
         # inclusive, lasts exclusive; a merged segment overlapping
         # another always has a boundary of the other inside one of
@@ -869,12 +986,11 @@ def blockwise_corpus_features(
                 k in cuts and len(cuts[k]) == len(v)
                 and (cuts[k] == v).all()
                 for k, v in new_cuts.items()):
-            raise _NotPresorted(meta["msg"])  # no progress
+            _raise(meta["msg"])  # no progress
         cuts = new_cuts
     if plan_ref is None:
-        raise _NotPresorted(
-            f"segment ranges still interleave after "
-            f"{max_refine_rounds} refinement rounds")
+        _raise(f"segment ranges still interleave after "
+               f"{max_refine_rounds} refinement rounds")
     return ds.map_batches(
         _MultiBlockWindow(plan_ref, specs, value_col, order_col,
                           key_col, asof_modulo, cuts=cuts),

@@ -270,6 +270,135 @@ def knn_ivf(
                           k, id_col, emb_col, concurrency)
 
 
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    train: str = "sample",
+    force: bool = False,
+) -> str:
+    """PERSISTED IVF index — the ANN analog of the pre-agg table
+    (window/preagg): train the coarse quantizer once, assign every row
+    once, and write the corpus as cluster-partitioned parquet so every
+    later query batch prunes AT THE READ (only ``nprobe`` partition
+    directories are opened; no re-assignment pass). Layout under
+    ``index_dir``:
+
+      centroids.parquet           (cluster:int64, centroid:list<double>)
+      assigned/ivf_cluster=<c>/   row partitions (id, embedding)
+      _SUCCESS                    build manifest (resume marker)
+
+    Rebuilds are skipped when ``_SUCCESS`` exists (state.checkpoint
+    semantics); ``force=True`` rebuilds. Reference parity: OpenMLDB's
+    pre-aggregated long-window tables trade one build pass for
+    request-time scans (src/storage/aggregator.h); same trade here."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from openmldb_ray.state.checkpoint import is_complete
+    if is_complete(index_dir) and not force:
+        return index_dir
+    t0 = time.time()
+    if train == "distributed":
+        cent = kmeans_distributed(ds, num_clusters, emb_col,
+                                  sample_rows=sample_rows, seed=seed)
+    else:
+        samp = ds.limit(sample_rows)
+        m = []
+        for b in samp.iter_batches(batch_format="pyarrow",
+                                   batch_size=4096):
+            m.append(_normalize(_emb_matrix(b, emb_col)))
+        cent = _normalize(_kmeans_lite(np.vstack(m), num_clusters,
+                                       seed=seed))
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mm = _normalize(_emb_matrix(b, emb_col))
+        lab = (mm @ c.T).argmax(1)
+        return b.append_column("ivf_cluster",
+                               pa.array(lab.astype(np.int64)))
+    assign.__name__ = "ivf_assign"
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              batch_size=8192)
+    # consolidate per cluster before the partitioned write: without
+    # this every (block x cluster) pair becomes its own tiny file
+    # (measured ~1000 files for 32 blocks x 32 clusters) and query
+    # reads pay per-file overhead instead of pruning. One shuffle at
+    # build time is the index-build trade.
+    def ident(g: pa.Table) -> pa.Table:
+        return g
+    ident.__name__ = "cluster_consolidate"
+    assigned = assigned.groupby("ivf_cluster").map_groups(
+        ident, batch_format="pyarrow")
+    assigned.write_parquet(os.path.join(tmp, "assigned"),
+                           partition_cols=["ivf_cluster"])
+    import pyarrow.parquet as pq
+    pq.write_table(
+        pa.table({"cluster": pa.array(np.arange(len(cent)),
+                                      type=pa.int64()),
+                  "centroid": pa.array(list(cent),
+                                       type=pa.list_(pa.float64()))}),
+        os.path.join(tmp, "centroids.parquet"))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write(json.dumps({
+            "num_clusters": int(len(cent)), "train": train,
+            "seed": seed, "emb_col": emb_col, "id_col": id_col,
+            "wall_s": round(time.time() - t0, 3)}))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp, index_dir)
+    return index_dir
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries,
+    query_ids: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nprobe: int = 4,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """IVF top-k served from a ``build_ivf_index`` directory: route
+    each query to its ``nprobe`` nearest centroids and read ONLY those
+    cluster partitions — repeated query batches never re-scan or
+    re-assign the corpus. Bit-equal to ``knn_ivf`` with the same
+    centroids (pytest-covered)."""
+    import os
+
+    import pyarrow.parquet as pq
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cent = np.asarray(ct["centroid"].combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False)) \
+        .reshape(ct.num_rows, -1)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_clusters = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probe = sorted(set(np.unique(q_clusters).tolist()))
+    paths = [os.path.join(index_dir, "assigned", f"ivf_cluster={c}")
+             for c in probe]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        empty = pa.table({"query_id": pa.array([], pa.string()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine_sim": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    pruned = ray.data.read_parquet(paths, columns=[id_col, emb_col],
+                                   file_extensions=["parquet"])
+    return knn_bruteforce(pruned, qm, query_ids, k, id_col, emb_col,
+                          concurrency)
+
+
 def embedding_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,

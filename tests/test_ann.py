@@ -113,3 +113,39 @@ def test_kmeans_distributed_converges(ray_session):
         recalls.append(len(e & a) / len(e))
     # nprobe=1 on well-separated clusters: near-perfect recall
     assert np.mean(recalls) > 0.9, recalls
+
+
+def test_ivf_index_persisted_bitequal_and_resume(ray_session, tmp_path):
+    """build_ivf_index + knn_ivf_indexed must equal knn_ivf with the
+    same (deterministic) training config; a second build is a resumed
+    no-op (the _SUCCESS manifest short-circuits it)."""
+    import os
+    from openmldb_ray.ops.ann import build_ivf_index, knn_ivf, knn_ivf_indexed
+    m, rows = _mk(n=2500)
+    ds = ray.data.from_items(rows).materialize()
+    q = m[:4].astype(np.float64)
+    idx = str(tmp_path / "ivf_index")
+
+    build_ivf_index(ds, idx, num_clusters=8, seed=42)
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+    assert os.path.exists(os.path.join(idx, "centroids.parquet"))
+
+    got = knn_ivf_indexed(idx, q, [0, 1, 2, 3], k=10,
+                          nprobe=4).to_pandas()
+    ref = knn_ivf(ds, q, [0, 1, 2, 3], k=10, num_clusters=8, nprobe=4,
+                  seed=42).to_pandas()
+    key = ["query_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+    assert np.allclose(got["cosine_sim"], ref["cosine_sim"])
+
+    # resume: second build must not rewrite (mtime unchanged)
+    mt = os.path.getmtime(os.path.join(idx, "_SUCCESS"))
+    build_ivf_index(ds, idx, num_clusters=8, seed=42)
+    assert os.path.getmtime(os.path.join(idx, "_SUCCESS")) == mt
+
+    # the read-time prune: only the probed cluster partitions open
+    parts = [p for p in os.listdir(os.path.join(idx, "assigned"))
+             if p.startswith("ivf_cluster=")]
+    assert len(parts) == 8

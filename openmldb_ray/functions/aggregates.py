@@ -203,19 +203,27 @@ def distinct(ds: ray.data.Dataset,
              keys: Sequence[str]) -> ray.data.Dataset:
     """DISTINCT over ``keys``: per-batch local distinct (Arrow
     group_by, the map-side combiner) shrinks the shuffle to unique
-    combos per block, then one groupby keeps the first per key."""
+    combos per block, then a key-hash-bucketed shuffle re-runs the
+    same Arrow group_by once per BUCKET (a groupby(keys).map_groups
+    would cost one Python call per distinct combo)."""
     import pyarrow as pa
 
+    from openmldb_ray.io import hash_columns
+
     keys = list(keys)
+    num_buckets = 64
 
     def local(b: pa.Table) -> pa.Table:
-        return b.select(keys).group_by(keys).aggregate([])
+        u = b.select(keys).group_by(keys).aggregate([])
+        return u.append_column("__bkt__", pa.array(
+            hash_columns(u, keys, num_buckets)))
     local.__name__ = "local_distinct"
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-    first.__name__ = "distinct_first"
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["__bkt__"]).group_by(keys).aggregate([])
+    bucket_distinct.__name__ = "bucket_distinct"
 
-    pre = ds.map_batches(local, batch_format="pyarrow")
-    return pre.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        first, batch_format="pyarrow")
+    from openmldb_ray.context import shuffle_partitions
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("__bkt__", num_partitions=shuffle_partitions(num_buckets)) \
+        .map_groups(bucket_distinct, batch_format="pyarrow")

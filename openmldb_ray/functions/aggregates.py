@@ -193,10 +193,30 @@ def _grouped_aggregate_sketch(
         return out
     merge.__name__ = "sketch_merge"
 
+    # key-hash-bucketed merge: one Ray group per BUCKET, the per-key
+    # sketch merges run inside a local pandas groupby (per-key
+    # map_groups pays Ray slicing overhead per distinct key)
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt__"] = (pd.util.hash_pandas_object(
+            df[keys], index=False).to_numpy() % np.uint64(64)) \
+            .astype(np.int32)
+        return df
+    tag.__name__ = "tag_sketch_bucket"
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bkt__"])
+        outs = [merge(grp) for _, grp in
+                df.groupby(keys, sort=False, dropna=False)]
+        return pd.concat(outs, ignore_index=True)
+    bucket_merge.__name__ = "sketch_bucket_merge"
+
+    from openmldb_ray.context import shuffle_partitions
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=65536)
-    return partials.groupby(keys[0] if len(keys) == 1 else keys) \
-        .map_groups(merge, batch_format="pandas")
+    return partials.map_batches(tag, batch_format="pandas") \
+        .groupby("__bkt__", num_partitions=shuffle_partitions(64)) \
+        .map_groups(bucket_merge, batch_format="pandas")
 
 
 def distinct(ds: ray.data.Dataset,

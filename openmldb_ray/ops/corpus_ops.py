@@ -288,14 +288,35 @@ def sample_per_key(ds: ray.data.Dataset, key: str, max_rows: int,
                    order_col: str | None = None,
                    num_buckets: int = 64) -> ray.data.Dataset:
     """Per-key quota: keep at most ``max_rows`` rows per key value
-    (deterministic: smallest ``order_col`` first). One shuffle on the
-    key; use for per-source corpus balancing."""
-    def head(g: pa.Table) -> pa.Table:
-        if order_col is not None:
-            g = g.take(pc.sort_indices(
-                g, sort_keys=[(order_col, "ascending")]))
-        return g.slice(0, max_rows)
-    head.__name__ = "per_key_head"
+    (deterministic: smallest ``order_col`` first). One key-hash-bucket
+    shuffle + a rank-within-group filter per bucket (per-key
+    map_groups would cost one Python call per key value)."""
+    from openmldb_ray.io import hash_columns
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__bkt__", pa.array(
+            hash_columns(b, [key], num_buckets)))
+    tag.__name__ = "tag_quota_bucket"
+
+    def head_per_key(g: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending")] + (
+            [(order_col, "ascending")] if order_col is not None else [])
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys)) \
+            .drop_columns(["__bkt__"])
+        enc = pc.dictionary_encode(s[key].combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        null = enc.indices.is_null().to_numpy(zero_copy_only=False)
+        codes = np.where(null, -1, np.nan_to_num(idx)).astype(np.int64)
+        n = len(codes)
+        firsts = np.concatenate(([True], codes[1:] != codes[:-1])) \
+            if n else np.empty(0, bool)
+        starts = np.flatnonzero(firsts)
+        counts = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n) - np.repeat(starts, counts)
+        return s.filter(pa.array(rank < max_rows))
+    head_per_key.__name__ = "per_key_head"
+
     from openmldb_ray.context import shuffle_partitions
-    return ds.groupby(key, num_partitions=shuffle_partitions(num_buckets)) \
-        .map_groups(head, batch_format="pyarrow")
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__bkt__", num_partitions=shuffle_partitions(num_buckets)) \
+        .map_groups(head_per_key, batch_format="pyarrow")

@@ -467,8 +467,8 @@ def _assemble_task(tail_rows, tail_range, min_segment_rows,
     at = 0
     for k, plan in plans.items():
         m = {}
-        for first, (off, hts, hvals, dim, n) in plan.items():
-            m[first] = (off, at, at + len(hts), dim, n)
+        for first, (off, hts, hvals, dim, n, ntok) in plan.items():
+            m[first] = (off, at, at + len(hts), dim, n, ntok)
             ts_parts.append(hts)
             val_parts.append(hvals)
             at += len(hts)
@@ -505,7 +505,7 @@ def _assemble_offsets(summary_rows: list[dict], tail_rows: int,
     dim_carry = (-1, 0)
     for r in rows:
         out[r["first_doc"]] = (offset, hist_ts, hist_vals, dim_carry,
-                               int(r["n_rows"]))
+                               int(r["n_rows"]), int(r["ntok_total"]))
         bt = np.asarray(r["tail_ts"], dtype=np.int64) + offset
         bv = np.asarray(r["tail_vals"], dtype=np.int64)
         hist_ts = np.concatenate([hist_ts, bt])
@@ -564,7 +564,7 @@ class _BlockWindow:
         if b.num_rows == 0:
             return self._empty(b)
         first = b[self.order_col][0].as_py()
-        offset, hist_ts, hist_vals, dim_carry, _n = self.plan[first]
+        offset, hist_ts, hist_vals, dim_carry = self.plan[first][:4]
         v = b[self.value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         local_ts = np.concatenate(([0], np.cumsum(v)[:-1])) + offset
         nh, nb = len(hist_ts), len(v)
@@ -759,8 +759,9 @@ class _MultiBlockWindow:
                 metas, big_ts, big_vals = payload
                 payload = {
                     k: {first: (off, big_ts[lo:hi], big_vals[lo:hi],
-                                dim, n)
-                        for first, (off, lo, hi, dim, n) in m.items()}
+                                dim, n, ntok)
+                        for first, (off, lo, hi, dim, n, ntok)
+                        in m.items()}
                     for k, m in metas.items()}
             self._plans = payload
         return self._plans
@@ -786,9 +787,13 @@ class _MultiBlockWindow:
             # batches under the fused pin), and the pinned blocks may
             # have merged consecutive fragments — each piece evaluates
             # with its own (offset, history) entry, which is exactly
-            # pass 2 on the unmerged layout. A fragment split across
-            # blocks (single batch > target block size) cannot be
-            # reconstructed and fails loudly.
+            # pass 2 on the unmerged layout. GLOBALLY-CONTIGUOUS
+            # fragments (next.offset == offset + ntok: nothing of this
+            # entity sits between them — the same-file row-group case)
+            # coalesce into ONE eval piece, so fragment granularity
+            # costs no per-piece overhead in the common layout. A
+            # fragment split across blocks (single batch > target
+            # block size) cannot be reconstructed and fails loudly.
             pos = lo
             while pos < hi:
                 f = ocol[pos].as_py()
@@ -797,7 +802,13 @@ class _MultiBlockWindow:
                     raise _NotPresorted(
                         f"fragment starting at {f!r} (key {k!r}) "
                         f"missing from blockwise plan")
-                n = ent[4]
+                n, end_off = ent[4], ent[0] + ent[5]
+                while pos + n < hi:
+                    nxt = plan_k.get(ocol[pos + n].as_py())
+                    if nxt is None or nxt[0] != end_off:
+                        break
+                    n += nxt[4]
+                    end_off = nxt[0] + nxt[5]
                 if pos + n > hi:
                     raise _NotPresorted(
                         f"fragment at {f!r} (key {k!r}, {n} rows) is "

@@ -158,3 +158,55 @@ def test_skewaware_blockwise_auto(ray_session):
                                     min_rows=2_000,
                                     asof_modulo=7).to_pandas()
     _cmp(base, got)
+
+
+def test_blockwise_fuse_pin_matches_shuffle(ray_session, tmp_path):
+    """fuse_pin=True (pass 1 riding the pin materialize) must be
+    bit-equal to the shuffle plan: summaries are fragment-granular
+    under read fusion, the pin merges fragments per task, and pass 2
+    walks/coalesces plan fragments — over a real parquet read so the
+    row-group/batch machinery is the production one."""
+    from openmldb_ray.pipelines.corpus import corpus_features_fused
+    from openmldb_ray.pipelines.synth import synth_corpus
+    from openmldb_ray.skew import blockwise_corpus_features
+
+    path = str(tmp_path / "corpus")
+    synth_corpus(20_000, num_sources=6, override_num_blocks=8) \
+        .write_parquet(path)
+    from openmldb_ray.io import read_parquet_per_file
+    def rd():
+        return read_parquet_per_file(
+            path, file_extensions=["parquet"],
+            columns=["doc_id", "n_tok", "source"])
+    base = corpus_features_fused(rd().materialize(), 8,
+                                 asof_modulo=7).to_pandas()
+    got = blockwise_corpus_features(rd(), _specs(), asof_modulo=7,
+                                    fuse_pin=True).to_pandas()
+    _cmp(base, got)
+
+
+def test_blockwise_fragment_hole_not_coalesced(ray_session):
+    """Entity fragments a1(0..k) and a2(2k..3k) merged into ONE block
+    while a1.5(k..2k) lives in another: pass 2 must NOT coalesce
+    a1+a2 (offsets don't chain) and must still match the shuffle
+    plan."""
+    from openmldb_ray.pipelines.corpus import corpus_features_fused
+    from openmldb_ray.skew import blockwise_corpus_features
+    rng = np.random.default_rng(21)
+    n = 3000
+    rows = [{"doc_id": f"sA-{i:08d}",
+             "n_tok": int(rng.integers(16, 128)),
+             "source": "sA"} for i in range(n)]
+    k = n // 3
+    blk1 = rows[:k] + rows[2 * k:]          # a1 + a2 (hole in between)
+    blk2 = rows[k:2 * k]                    # a1.5
+    d1 = ray.data.from_items(blk1, override_num_blocks=1) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=None)
+    d2 = ray.data.from_items(blk2, override_num_blocks=1) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=None)
+    ds = d1.union(d2).materialize()
+    base = corpus_features_fused(ds, 4).to_pandas()
+    got = blockwise_corpus_features(ds, _specs()).to_pandas()
+    _cmp(base, got)

@@ -45,6 +45,11 @@ Condition = Callable[[dict, dict], np.ndarray]
 
 
 def _keys_np(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    if not cols:
+        # keyless (condition-only) join: every row shares one group —
+        # binary_join_element_wise with zero arrays would return a
+        # scalar (the separator) and crash downstream
+        return np.zeros(tbl.num_rows, dtype=np.int64)
     if len(cols) == 1:
         return tbl[cols[0]].to_numpy(zero_copy_only=False)
     # composite key -> one fused string per row, vectorized in Arrow.

@@ -84,10 +84,18 @@ def synth_corpus(num_docs: int, num_sources: int = 64,
 
 def synth_corpus_parquet(path: str, num_docs: int, num_sources: int = 64,
                          hot_frac: float = 0.3) -> str:
-    """Generate once into ``path`` (skipped if complete); returns path."""
+    """Generate once into ``path`` (skipped if complete); returns path.
+
+    Blocks are chunk-combined before the write so each file holds ONE
+    row group (the realistic layout for curated parquet): the 8192-row
+    gen batches otherwise become 8k-row row groups, fragmenting every
+    row-group-granular reader 4-20x."""
     from openmldb_ray.state.checkpoint import checkpoint, is_complete
     if not is_complete(path):
-        checkpoint(synth_corpus(num_docs, num_sources, hot_frac), path)
+        ds = synth_corpus(num_docs, num_sources, hot_frac).map_batches(
+            lambda t: t.combine_chunks(), batch_format="pyarrow",
+            batch_size=None, zero_copy_batch=True)
+        checkpoint(ds, path)
     return path
 
 

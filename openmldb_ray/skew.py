@@ -931,6 +931,13 @@ def blockwise_corpus_features(
         tap = _SummaryTap(collector, _MultiSummary(
             value_col, order_col, key_col, tail_rows, tail_range,
             asof_modulo, cuts=None))
+        # batch_size=None: one tap call per fused-read batch (= one
+        # parquet row group). A large batch_size would buffer ACROSS
+        # files inside a task — merging out-of-order fragments (forcing
+        # refinement rounds) and emitting giant blocks that serialize
+        # the eval+sink stages (measured 9s vs 4.5s at 2M docs).
+        # Fragment granularity is absorbed by the contiguous-fragment
+        # coalescing in pass 2.
         ds = ds.map_batches(tap, batch_format="pyarrow",
                             batch_size=None,
                             zero_copy_batch=True).materialize()

@@ -69,6 +69,11 @@ def read_parquet_per_file(path: str, columns: list[str] | None = None,
             # pyarrow dataset discovery (~1.7s at 200 files vs 0.17s)
             kwargs.setdefault("override_num_blocks", len(files))
             kwargs.setdefault("meta_provider", _no_prefetch_meta_provider())
+            # one BATCH per file too (reader default is 10k rows):
+            # fused consumers see read batches, so sub-file batches
+            # fragment the blockwise plan ~4-20x (at 32M docs the
+            # replicated plan tails grew ~20x and assembly dominated)
+            kwargs.setdefault("batch_size", 1 << 18)
             kwargs.pop("file_extensions", None)
             return clean_read_parquet(files, columns=columns,
                                       schema_file=files[0], **kwargs)

@@ -45,6 +45,11 @@ def checkpoint(ds: ray.data.Dataset, stage_dir: str,
         import shutil
         shutil.rmtree(tmp)
     t0 = time.time()
+    # file-sized row groups (the sink default is ~32k rows): sub-file
+    # row groups fragment every layout-sensitive reader downstream —
+    # the blockwise planner saw 7x the segments and its plan tails
+    # grew ~7x at 32M docs
+    write_kwargs.setdefault("row_group_size", 1 << 20)
     ds.write_parquet(tmp, **write_kwargs)
     from openmldb_ray.pipelines.corpus import _phase_log
     _phase_log("checkpoint write_parquet", t0)

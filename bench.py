@@ -314,6 +314,15 @@ def run_all() -> dict:
     for name in ("ray.data", "ray"):
         logging.getLogger(name).setLevel(logging.ERROR)
 
+    # spawn the worker pool BEFORE the per-pipeline timers: Ray forks
+    # workers lazily at first task, so a fresh process charges ~1-2s of
+    # cold worker spawn to whichever pipeline runs first. Workers are
+    # long-lived on a real cluster; pipeline throughput shouldn't
+    # include cluster cold-start (documented in BASELINE.md).
+    import ray.data as _rd
+    _rd.range(NUM_CPUS * 4096, override_num_blocks=NUM_CPUS) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()
+
     benches = {
         "corpus_flagship": bench_corpus_flagship,
         "window_events": bench_window_events,

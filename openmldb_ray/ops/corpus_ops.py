@@ -71,10 +71,19 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
         total = int(doc_off[-1])
         idx = np.arange(total, dtype=np.int64) \
             - np.repeat(doc_off[:-1], counts)
+        # map-side combiner: per batch, keep only the min-(doc, idx)
+        # row per paragraph hash — hot boilerplate paragraphs collapse
+        # before the shuffle (global min of per-batch mins is the same
+        # first occurrence)
+        order = np.lexsort((idx, ids, h))
+        hs = h[order]
+        firsts = np.concatenate(([True], hs[1:] != hs[:-1])) \
+            if len(hs) else np.empty(0, bool)
+        keep = order[firsts]
         return pa.table({
-            "para_hash": pa.array(h.view(np.int64)),
-            id_col: pa.array(ids),
-            "__pidx__": pa.array(idx),
+            "para_hash": pa.array(h[keep].view(np.int64)),
+            id_col: pa.array(ids[keep]),
+            "__pidx__": pa.array(idx[keep]),
         })
     explode.__name__ = "explode_paragraphs"
     slim = ds.map_batches(explode, batch_format="pyarrow")

@@ -263,14 +263,36 @@ class _JaccardVerify:
         n = b.num_rows
         jac = np.zeros(n, dtype=np.float64)
         if n:
+            # flat layout across the whole batch: one lexsort over
+            # (pair, hash, side) rows, distinct-(pair,hash) runs give
+            # |A|, |B| and |A∩B| per pair with no per-pair Python loop
             sa, offa = shingle_hashes_batch(b["__text_a__"], self.k)
             sb, offb = shingle_hashes_batch(b["__text_b__"], self.k)
-            for i in range(n):
-                ua = np.unique(sa[offa[i]:offa[i + 1]])
-                ub = np.unique(sb[offb[i]:offb[i + 1]])
-                inter = len(np.intersect1d(ua, ub, assume_unique=True))
-                union = len(ua) + len(ub) - inter
-                jac[i] = inter / union if union else 1.0
+            pid = np.concatenate([
+                np.repeat(np.arange(n, dtype=np.int64), np.diff(offa)),
+                np.repeat(np.arange(n, dtype=np.int64), np.diff(offb))])
+            h = np.concatenate([sa, sb])
+            side = np.concatenate([
+                np.zeros(len(sa), np.int8), np.ones(len(sb), np.int8)])
+            if len(h):
+                order = np.lexsort((side, h, pid))
+                ph, hh, ss = pid[order], h[order], side[order]
+                new = np.concatenate(
+                    ([True], (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])))
+                starts = np.flatnonzero(new)
+                ends = np.concatenate((starts[1:], [len(ph)]))
+                run_pid = ph[starts]
+                has_a = ss[starts] == 0          # side-sorted runs
+                has_b = ss[ends - 1] == 1
+                na = np.bincount(run_pid[has_a], minlength=n)
+                nb = np.bincount(run_pid[has_b], minlength=n)
+                inter = np.bincount(run_pid[has_a & has_b], minlength=n)
+                union = na + nb - inter
+                nz = union > 0
+                jac[nz] = inter[nz] / union[nz]
+                jac[~nz] = 1.0
+            else:
+                jac[:] = 1.0
         out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
                         "jaccard": pa.array(jac)})
         return out.filter(pc.greater_equal(out["jaccard"],

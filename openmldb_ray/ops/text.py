@@ -291,6 +291,134 @@ class RepetitionScore:
         return batch
 
 
+class PiiRedact:
+    """PII masking over the text column: email / SSN-shaped / IPv4 /
+    phone-shaped spans replaced with typed placeholder tokens, plus a
+    per-document ``pii_count``. Patterns are RE2-compatible (no
+    lookarounds) and run through Arrow's C++ regex kernels
+    (``replace_substring_regex`` / ``count_substring_regex``) —
+    zero-copy batches, no Python per row, zero shuffle. The same
+    patterns run verbatim in DuckDB ``regexp_replace`` (also RE2), the
+    pytest cross-check.
+
+    Patterns apply IN ORDER (email first so its local part can't be
+    half-eaten by the numeric rules); counts are taken before any
+    replacement, per pattern on the original text."""
+
+    ARROW_OK = True
+    # (name, pattern, replacement) — applied top to bottom
+    PATTERNS = (
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+         "<EMAIL>"),
+        ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+        ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    )
+
+    def __init__(self, text_col: str = "text", out_col: str | None = None,
+                 tag_only: bool = False):
+        self.text_col = text_col
+        self.out_col = out_col or text_col
+        self.tag_only = tag_only
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = pc.fill_null(batch[self.text_col], "")
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        out = col
+        for _, pat, repl in self.PATTERNS:
+            total += pc.count_substring_regex(col, pattern=pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if not self.tag_only:
+                out = pc.replace_substring_regex(out, pattern=pat,
+                                                 replacement=repl)
+        if not self.tag_only:
+            if self.out_col in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(self.out_col),
+                    self.out_col, out)
+            else:
+                batch = batch.append_column(self.out_col, out)
+        return batch.append_column("pii_count", pa.array(total))
+
+
+class GopherRules:
+    """The Gopher corpus quality rules (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` / ``...``), bullet-line and ellipsis-line fractions,
+    fraction of words containing an alphabetic character, and the
+    required-stop-word rule (>= 2 of the 8 listed words). Emits one
+    boolean per rule plus the conjunction ``gopher_pass``; with
+    ``filter=True`` drops failing documents instead.
+
+    Vectorized: every rule is one or two C-backed pandas regex counts
+    over the batch — no per-document Python."""
+
+    REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have",
+                      "with")
+
+    def __init__(self, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_avg_word_len: float = 3.0,
+                 max_avg_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2,
+                 drop_failing: bool = False):
+        self.text_col = text_col
+        self.min_words, self.max_words = min_words, max_words
+        self.min_awl, self.max_awl = min_avg_word_len, max_avg_word_len
+        self.max_symbol_ratio = max_symbol_ratio
+        self.max_bullet_frac = max_bullet_frac
+        self.max_ellipsis_frac = max_ellipsis_frac
+        self.min_alpha_frac = min_alpha_frac
+        self.min_stop_hits = min_stop_hits
+        self.drop_failing = drop_failing
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        n_words = s.str.split().str.len().astype("int64")
+        nw = n_words.clip(lower=1)
+        nonspace = s.str.count(r"\S").astype("int64")
+        avg_wl = nonspace / nw
+        symbols = (s.str.count("#") + s.str.count(r"\.\.\.")) \
+            .astype("int64")
+        n_lines = s.str.count("\n").astype("int64") + 1
+        bullet_lines = s.str.count(r"(?:^|\n)[ \t]*[•\-\*] ") \
+            .astype("int64")
+        ellipsis_lines = s.str.count(r"\.\.\.[ \t]*(?:\n|$)") \
+            .astype("int64")
+        nonalpha_words = s.str.count(
+            r"(?:(?<=\s)|^)[^A-Za-z\s]+(?=\s|$)").astype("int64")
+        low = s.str.lower()
+        stop_hits = sum(
+            low.str.contains(rf"\b{w}\b", regex=True).astype("int64")
+            for w in self.REQUIRED_STOPS)
+        r_words = (n_words >= self.min_words) & \
+            (n_words <= self.max_words)
+        r_awl = (avg_wl >= self.min_awl) & (avg_wl <= self.max_awl)
+        r_symbol = symbols / nw <= self.max_symbol_ratio
+        r_bullet = bullet_lines / n_lines <= self.max_bullet_frac
+        r_ellipsis = ellipsis_lines / n_lines <= self.max_ellipsis_frac
+        r_alpha = 1.0 - nonalpha_words / nw >= self.min_alpha_frac
+        r_stops = stop_hits >= self.min_stop_hits
+        ok = (r_words & r_awl & r_symbol & r_bullet & r_ellipsis
+              & r_alpha & r_stops)
+        if self.drop_failing:
+            return batch[ok.to_numpy()]
+        batch["rule_word_count"] = r_words
+        batch["rule_avg_word_len"] = r_awl
+        batch["rule_symbol_ratio"] = r_symbol
+        batch["rule_bullet_lines"] = r_bullet
+        batch["rule_ellipsis_lines"] = r_ellipsis
+        batch["rule_alpha_words"] = r_alpha
+        batch["rule_stop_words"] = r_stops
+        batch["gopher_pass"] = ok
+        return batch
+
+
 def with_text_features(ds: ray.data.Dataset, stages, batch_size: int = 4096,
                        concurrency: int | None = None) -> ray.data.Dataset:
     """Chain text stages. Stages that declare ``ARROW_OK`` take

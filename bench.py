@@ -222,6 +222,23 @@ def bench_decontaminate() -> tuple[float, int]:
     return time.time() - t0, rows
 
 
+def bench_pii_gopher() -> tuple[float, int]:
+    """PII redaction + Gopher quality rules over the synthetic text
+    corpus — the per-document hygiene stages of a cleaning run, fused
+    into one zero-shuffle map chain (Arrow RE2 redaction kernels +
+    the one-pass byte-class rule kernel)."""
+    from openmldb_ray.io import read_parquet_per_file
+    from openmldb_ray.ops.text import GopherRules, PiiRedact, \
+        with_text_features
+    path = _prepare_text_corpus()
+    docs = read_parquet_per_file(path, file_extensions=["parquet"],
+                                 columns=["doc_id", "text"])
+    t0 = time.time()
+    out = with_text_features(docs, [PiiRedact, GopherRules])
+    rows = out.count()
+    return time.time() - t0, rows
+
+
 def bench_minhash_pairs() -> tuple[float, int]:
     """MinHash+LSH near-duplicate pairs over sf documents: shingle ->
     minhash -> banded buckets -> bucket-local candidate pairs ->
@@ -332,6 +349,7 @@ def run_all() -> dict:
         "minhash_pairs": bench_minhash_pairs,
         "dedup_paragraphs": bench_dedup_paragraphs,
         "decontaminate": bench_decontaminate,
+        "pii_gopher": bench_pii_gopher,
         "window_tslog_blockwise": bench_window_tslog,
         "long_window_preagg": bench_long_window_preagg,
     }

@@ -89,13 +89,24 @@ def synth_corpus_parquet(path: str, num_docs: int, num_sources: int = 64,
     Blocks are chunk-combined before the write so each file holds ONE
     row group (the realistic layout for curated parquet): the 8192-row
     gen batches otherwise become 8k-row row groups, fragmenting every
-    row-group-granular reader 4-20x."""
+    row-group-granular reader 4-20x.
+
+    The token lists are written DELTA_BINARY_PACKED (184 B/doc vs
+    1400 plain-snappy, measured — the affine sequences delta to
+    near-constant runs), so a 128M-doc scaling corpus fits local
+    disk. Compression stays snappy so the three non-token columns
+    read identically to earlier corpora; readers that prune
+    ``tokens`` (the flagship reads only doc_id/n_tok/source) never
+    touch the encoded pages."""
     from openmldb_ray.state.checkpoint import checkpoint, is_complete
     if not is_complete(path):
         ds = synth_corpus(num_docs, num_sources, hot_frac).map_batches(
             lambda t: t.combine_chunks(), batch_format="pyarrow",
             batch_size=None, zero_copy_batch=True)
-        checkpoint(ds, path)
+        checkpoint(ds, path,
+                   use_dictionary=["doc_id", "source"],
+                   column_encoding={
+                       "tokens.list.element": "DELTA_BINARY_PACKED"})
     return path
 
 

@@ -96,3 +96,31 @@ def test_simhash_pairs_find_planted_dups(ray_session):
     for a, b in [(0, 100), (3, 101), (7, 102), (12, 103)]:
         assert (a, b) in got_pairs
     assert (got["hamming"] <= 10).all()
+
+
+def test_attach_texts_broadcast_equals_join_fallback(ray_session):
+    """_attach_texts has two plans: the sparse-candidate broadcast
+    semi-join (default) and the bucketed hash_join fallback (guards
+    exceeded). Both must emit identical pair rows."""
+    import pyarrow as pa
+
+    from openmldb_ray.ops.dedup import _attach_texts
+    rows = _corpus()
+    ds = ray.data.from_items(rows)
+    cand = ray.data.from_arrow(pa.table({
+        "id_a": [0, 3, 7, 1, 12],
+        "id_b": [100, 101, 102, 200, 103]}))
+
+    def run(**kw):
+        out = _attach_texts(cand, ds, "text", "doc_id", **kw) \
+            .to_pandas().sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+        return out[sorted(out.columns)]
+    bcast = run()
+    fallback = run(broadcast_max_ids=0)   # force the join plan
+    assert bcast.equals(fallback)
+    assert len(bcast) == 5
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    for _, r in bcast.iterrows():
+        assert r["__text_a__"] == texts[r["id_a"]]
+        assert r["__text_b__"] == texts[r["id_b"]]

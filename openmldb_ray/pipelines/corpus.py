@@ -147,11 +147,17 @@ def _derive_ts(run: pa.Table) -> pa.Table:
 
 
 def _doc_idx(doc_id_col) -> np.ndarray:
-    """doc_id "<source>-<i:08d>" -> int64 doc index (documented
-    derivation invariant, see build_dim)."""
+    """doc_id "<source>-<i>" -> int64 doc index (documented derivation
+    invariant, see build_dim). Width-agnostic: strips everything up to
+    the last '-' with one RE2 pass, so 8-digit test ids and the
+    12-digit at-scale corpus ids parse identically (a fixed -8 slice
+    silently misparsed 9-digit indices past 1e8 docs)."""
     import pyarrow.compute as pc
-    tail = pc.utf8_slice_codeunits(
-        doc_id_col.combine_chunks().cast(pa.string()), -8, 1 << 30)
+    col = doc_id_col.combine_chunks() \
+        if isinstance(doc_id_col, pa.ChunkedArray) else doc_id_col
+    tail = pc.replace_substring_regex(
+        col.cast(pa.string()),
+        pattern=r"^.*-", replacement="", max_replacements=1)
     return pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
 
 
@@ -224,15 +230,10 @@ def build_dim(with_ts: ray.data.Dataset,
     large scale raise ``modulo`` to keep the dim a realistic dimension
     size (bench: ~1 row per 64 docs)."""
     def pick(b: pa.Table) -> pa.Table:
-        # doc_id = "<source>-<i:08d>": the numeric tail is the last 8
-        # code units (doc index < 1e8 by construction at test/bench
-        # scale; beyond that, widen the format and this slice together).
-        # Arrow-native slice+cast: the pandas .str path costed ~2s of
-        # the 32-CPU flagship wall at 32M rows
-        import pyarrow.compute as pc
-        tail = pc.utf8_slice_codeunits(
-            b["doc_id"].combine_chunks().cast(pa.string()), -8, 1 << 30)
-        nums = pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
+        # doc_id = "<source>-<i>": width-agnostic suffix parse shared
+        # with _doc_idx (Arrow RE2 + cast; the pandas .str path costed
+        # ~2s of the 32-CPU flagship wall at 32M rows).
+        nums = _doc_idx(b["doc_id"])
         keep = (nums % modulo) == 0
         t = b.filter(pa.array(keep))
         return pa.table({

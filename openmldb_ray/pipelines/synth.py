@@ -50,7 +50,13 @@ def gen_batch(batch: pa.Table, num_sources: int = 64,
     tail = (512 + (tail_u ** 3) * (8192 - 512)).astype(np.int64)
     n_tok = np.where(u < 0.8, body, tail).astype(np.int32)
 
-    doc_ids = [f"{s}-{int(x):08d}" for s, x in zip(sources, i)]
+    # 12-digit zero-pad: doc_id string order must equal numeric doc
+    # order at the north-star 10^12-sequence scale. 8 digits overflowed
+    # at >1e8 docs ("...-99840003" > "...-100102111" lexicographically),
+    # which the blockwise layout verifier correctly refused at 128M —
+    # fixed-width ids are the contract, as in any real corpus keyed by
+    # sortable ids.
+    doc_ids = [f"{s}-{int(x):012d}" for s, x in zip(sources, i)]
     # tokens: affine sequence per doc (deterministic, vectorized)
     offsets = np.concatenate(([0], np.cumsum(n_tok.astype(np.int64))))
     total = int(offsets[-1])
@@ -170,7 +176,8 @@ def gen_text_batch(batch: pa.Table, pool_size: int = _POOL_SIZE,
              for lo, hi in zip(off[:-1], off[1:])]
     src = (h % np.uint64(num_sources)).astype(np.int64)
     return pa.table({
-        "doc_id": pa.array([f"d{int(x):09d}" for x in i], pa.string()),
+        # same fixed-width-at-10^12 contract as the token corpus
+        "doc_id": pa.array([f"d{int(x):012d}" for x in i], pa.string()),
         "text": pa.array(texts, pa.string()),
         "source": pa.array([f"s{int(s):02d}" for s in src], pa.string()),
     })

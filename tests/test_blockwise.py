@@ -210,3 +210,34 @@ def test_blockwise_fragment_hole_not_coalesced(ray_session):
     base = corpus_features_fused(ds, 4).to_pandas()
     got = blockwise_corpus_features(ds, _specs()).to_pandas()
     _cmp(base, got)
+
+
+def test_blockwise_crosses_1e8_doc_index(ray_session):
+    """Regression: at >1e8 docs the old 8-digit id pad overflowed and
+    string order diverged from numeric doc order, so the verifier
+    refused every block past the boundary and the engine silently fell
+    back to the shuffle plan (observed at the 128M-doc scaling run).
+    With the fixed-width 12-digit contract the blockwise plan must
+    ACCEPT a layout spanning the boundary and match the shuffle plan;
+    _doc_idx must parse any width."""
+    from openmldb_ray.pipelines.corpus import (_doc_idx,
+                                               corpus_features_fused)
+    from openmldb_ray.skew import blockwise_corpus_features
+    rng = np.random.default_rng(7)
+    idx = np.arange(99_999_000, 100_001_000)        # spans 1e8
+    rows = [{"doc_id": f"sA-{int(i):012d}",
+             "n_tok": int(rng.integers(16, 128)),
+             "source": "sA"} for i in idx]
+    ds = ray.data.from_items(rows, override_num_blocks=4) \
+        .map_batches(lambda b: b, batch_format="pyarrow",
+                     batch_size=None).materialize()
+    base = corpus_features_fused(ds, 4, asof_modulo=7).to_pandas()
+    got = blockwise_corpus_features(ds, _specs(),
+                                    asof_modulo=7).to_pandas()
+    _cmp(base, got)
+    # width-agnostic index parse (8-digit test ids, 12-digit corpus
+    # ids, and the boundary itself)
+    col = pa.array(["s0-00000042", "sA-000099999999",
+                    "sA-000100000000", "src-0003-000000000007"])
+    np.testing.assert_array_equal(
+        _doc_idx(col), [42, 99_999_999, 100_000_000, 7])

@@ -35,20 +35,45 @@ from openmldb_ray.functions.sketches import _splitmix64
 _PRIME = np.uint64(0x100000001B3)
 
 
-def _para_hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """(hashes, doc_off): FNV of each non-empty paragraph (split on
-    blank lines), flat layout."""
-    paras_flat: list[bytes] = []
-    doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, t in enumerate(texts):
-        ps = [p for p in (t or "").split("\n\n") if p.strip()]
-        paras_flat.extend(p.encode() for p in ps)
-        doc_off[i + 1] = doc_off[i] + len(ps)
-    if not paras_flat:
-        return np.empty(0, np.uint64), doc_off
-    data = np.frombuffer(b"".join(paras_flat), dtype=np.uint8)
-    off = np.zeros(len(paras_flat) + 1, dtype=np.int64)
-    np.cumsum([len(p) for p in paras_flat], out=off[1:])
+def _split_paras(texts) -> tuple[pa.Array, np.ndarray]:
+    """Split a batch of texts into non-blank paragraphs entirely in
+    Arrow. Returns ``(flat_paras, doc_off)``: doc *d* owns paragraphs
+    ``flat_paras[doc_off[d]:doc_off[d+1]]`` in document order, with
+    whitespace-only paragraphs dropped (the ``p.strip()`` rule — both
+    the explode and the rebuild use THIS function, so paragraph
+    indices always agree between the two passes)."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    if pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.string())
+    split = pc.split_pattern(texts, pattern="\n\n")
+    raw_off = np.asarray(split.offsets, dtype=np.int64)
+    flat = split.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(flat)), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    ndocs = len(raw_off) - 1
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64),
+                        raw_off[1:] - raw_off[:-1])
+    counts = np.bincount(doc_idx[keep_np], minlength=ndocs)
+    doc_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return flat.filter(keep), doc_off
+
+
+def _para_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, doc_off): FNV of each non-blank paragraph (split on
+    blank lines), flat layout — hashes the UNSTRIPPED paragraph
+    bytes, vectorized over the batch's flat UTF-8 buffer."""
+    flat, doc_off = _split_paras(texts)
+    lb = flat.cast(pa.large_binary())
+    off = np.frombuffer(lb.buffers()[1], dtype=np.int64)
+    off = off[lb.offset: lb.offset + len(lb) + 1]
+    data = np.frombuffer(lb.buffers()[2], dtype=np.uint8) \
+        if lb.buffers()[2] is not None else np.empty(0, dtype=np.uint8)
     return fnv1a_flat(off, data), doc_off
 
 
@@ -64,8 +89,7 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
     64-bit paragraph hashes stand in for exact strings (collision odds
     ~2^-30 at corpus scale); the oracle/test compares exact strings."""
     def explode(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        h, doc_off = _para_hashes(texts)
+        h, doc_off = _para_hashes(b[text_col])
         counts = np.diff(doc_off)
         ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), counts)
         total = int(doc_off[-1])
@@ -122,6 +146,18 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
     from openmldb_ray.io import hash_columns
     from openmldb_ray.joins.hash_join import _join_index, _key_codes
 
+    # the survivor side's null text column must carry the CORPUS text
+    # type (large_string parquet blocks are common) or the union hits
+    # mismatched schemas
+    ttype = pa.string()
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        cand_t = dict(zip(sch.names, sch.types)).get(text_col)
+        if isinstance(cand_t, pa.DataType):
+            ttype = cand_t
+    except Exception:
+        pass
+
     def tag_text(b: pa.Table) -> pa.Table:
         bkt = hash_columns(b, [id_col], num_buckets)
         return pa.table({
@@ -135,7 +171,7 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
         bkt = hash_columns(b, [id_col], num_buckets)
         return pa.table({
             id_col: b[id_col],
-            text_col: pa.nulls(b.num_rows, pa.string()),
+            text_col: pa.nulls(b.num_rows, ttype),
             "__pidx__": b["__pidx__"],
             "__side__": pa.array(np.ones(b.num_rows, np.int8)),
             "__bkt__": pa.array(bkt)})
@@ -166,14 +202,25 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
         lidx, ridx = _join_index(lcode, rcode, "inner")
         if not len(lidx):
             return empty
-        texts = tx[text_col].take(pa.array(lidx)).to_pylist()
-        keeps = keep["__keep__"].take(pa.array(ridx)).to_pylist()
-        out = []
-        for t, kp in zip(texts, keeps):
-            ps = [p for p in (t or "").split("\n\n") if p.strip()]
-            out.append("\n\n".join(ps[i] for i in kp))
+        # vectorized rebuild: split each surviving doc's paragraphs
+        # (same Arrow rule as the explode, so __pidx__ lines up),
+        # gather the kept paragraphs with one flat take and join per
+        # doc with pc.binary_join — no per-document Python loop
+        flat, doc_off = _split_paras(tx[text_col].take(pa.array(lidx)))
+        keeps_arr = keep["__keep__"].take(pa.array(ridx))
+        if isinstance(keeps_arr, pa.ChunkedArray):
+            keeps_arr = keeps_arr.combine_chunks()
+        kcnt = np.asarray(keeps_arr.value_lengths(), dtype=np.int64)
+        kvals = np.asarray(keeps_arr.flatten(), dtype=np.int64)
+        gather = kvals + np.repeat(doc_off[:-1], kcnt)
+        paras = flat.take(pa.array(gather))
+        off2 = np.concatenate(([0], np.cumsum(kcnt))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off2, pa.int32()), paras),
+            "\n\n")
         tbl = pa.table({id_col: tx[id_col].take(pa.array(lidx)),
-                        text_col: pa.array(out, pa.string())})
+                        text_col: joined.cast(
+                            tx.schema.field(text_col).type)})
         return tbl.filter(pc.greater(pc.utf8_length(tbl[text_col]), 0))
     bucket_rebuild.__name__ = "bucket_rebuild"
 
@@ -209,9 +256,16 @@ class _ContaminationFilter:
     """Actor stage: drop (or tag) docs sharing >= min_hits n-grams with
     the broadcast eval-set hash array (sorted; searchsorted lookup)."""
 
-    def __init__(self, banned_ref, text_col: str, n: int,
+    def __init__(self, banned, text_col: str, n: int,
                  min_hits: int, tag_only: bool):
-        self.banned = ray.get(banned_ref)
+        # ``banned`` arrives as a plain ndarray through the actor's
+        # task spec (Ray promotes large args to plasma once; actors
+        # zero-copy read it). NOT an ObjectRef constructor arg — a
+        # restartable actor pool cannot re-resolve a borrowed ref if
+        # the object is lost (ray issue 53727); spec-owned args
+        # survive restarts.
+        self.banned = banned if isinstance(banned, np.ndarray) \
+            else ray.get(banned)
         self.text_col = text_col
         self.n = n
         self.min_hits = min_hits
@@ -261,14 +315,18 @@ def decontaminate(ds: ray.data.Dataset, eval_texts,
     """Drop corpus documents sharing >= ``min_hits`` word n-grams with
     any eval-set text (train/test contamination removal). The eval set
     is dimension-sized: its hash set is built once on the driver and
-    broadcast via ray.put; the corpus side is one zero-shuffle
-    vectorized pass."""
+    shipped to each actor through the constructor task spec (plasma
+    -backed once for large arrays; restart-safe, unlike an ObjectRef
+    arg); the corpus side is one zero-shuffle vectorized pass.
+
+    batch_size 8192: the flat-batch kernel is one rolling combine per
+    batch, so per-call overhead dominates at small batches (1024 →
+    ~2,000 calls at 2M docs measured ~1.5x slower)."""
     banned = _ngram_hash_set(eval_texts, n)
-    banned_ref = ray.put(banned)
     from openmldb_ray.context import pool_concurrency
     return ds.map_batches(
-        _ContaminationFilter, batch_format="pyarrow", batch_size=1024,
-        fn_constructor_args=(banned_ref, text_col, n, min_hits, tag_only),
+        _ContaminationFilter, batch_format="pyarrow", batch_size=8192,
+        fn_constructor_args=(banned, text_col, n, min_hits, tag_only),
         concurrency=concurrency or pool_concurrency())
 
 
@@ -362,7 +420,11 @@ def mix_sources(ds: ray.data.Dataset, weights: dict[str, float],
     w = {k: v / wsum for k, v in weights.items() if v > 0}
 
     def partial(b: pa.Table) -> pa.Table:
-        g = pa.table({source_col: b[source_col], tok_col: b[tok_col]}) \
+        # cast pins the type so an all-null batch still unions with
+        # string batches; null sources aggregate under the null key
+        # (weight 0 downstream)
+        g = pa.table({source_col: pc.cast(b[source_col], pa.string()),
+                      tok_col: b[tok_col]}) \
             .group_by(source_col).aggregate([(tok_col, "sum")])
         return g.rename_columns([source_col, "__tok__"])
     partial.__name__ = "source_token_partial"
@@ -397,7 +459,11 @@ def mix_sources(ds: ray.data.Dataset, weights: dict[str, float],
         from openmldb_ray.functions.sketches import hash_column
         ids = pc.fill_null(pc.cast(b[id_col], pa.string()), "")
         h = _splitmix64(hash_column(ids) ^ sd)
-        srcs = b[source_col].to_numpy(zero_copy_only=False)
+        # null sources take the sentinel path: it matches no weighted
+        # source, so known=False -> thr 0 (weight-0 rule; a raw None
+        # in an object array would crash np.searchsorted's str compare)
+        srcs = pc.fill_null(pc.cast(b[source_col], pa.string()),
+                            "\x00__null__").to_numpy(zero_copy_only=False)
         if len(src_arr):
             pos = np.minimum(np.searchsorted(src_arr, srcs),
                              len(src_arr) - 1)

@@ -214,3 +214,61 @@ def test_dedup_paragraphs_vs_duckdb_oracle(ray_session):
     g = dict(zip(got["doc_id"], got["text"]))
     e = dict(zip(exp["doc_id"], exp["text"]))
     assert g == e
+
+
+def test_dedup_paragraphs_large_string_corpus(ray_session):
+    # large_string text columns (big parquet string blocks) must union
+    # cleanly with the survivor side's null text column
+    from openmldb_ray.ops.corpus_ops import dedup_paragraphs
+    docs = _docs()
+    tbl = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in docs]),
+        "text": pa.array([d["text"] for d in docs],
+                         type=pa.large_string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = dedup_paragraphs(ds, num_buckets=4).to_pandas()
+    assert dict(zip(got["doc_id"], got["text"])) == _brute_para_dedup(docs)
+
+
+def test_mix_sources_null_source_dropped(ray_session):
+    # null source values carry weight 0 (dropped), not a TypeError in
+    # the searchsorted lookup
+    from openmldb_ray.ops.corpus_ops import mix_sources
+    rows = [{"doc_id": str(i), "source": ("web" if i % 2 else None),
+             "n_tok": 10} for i in range(50)]
+    ds = ray.data.from_items(rows)
+    out, stats = mix_sources(ds, {"web": 1.0})
+    got = out.to_pandas()
+    assert (got["source"] == "web").all()
+    assert stats["fractions"]["web"] == 1.0
+
+
+def test_decontaminate_survives_actor_kill(ray_session):
+    # restart hazard regression (ray#53727): the banned-hash array is
+    # a spec-owned constructor arg, so a killed filter actor restarts
+    # cleanly and the stream completes with every row accounted for
+    import os
+    import signal
+
+    import ray._private.state as _state
+
+    from openmldb_ray.ops.corpus_ops import decontaminate
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{i}_{j}" for j in range(30))}
+            for i in range(4000)]
+    ds = ray.data.from_items(rows).repartition(16)
+    out = decontaminate(ds, ["alpha beta gamma delta epsilon"], n=4,
+                        concurrency=1)
+    it = iter(out.iter_batches(batch_size=256, batch_format="pyarrow"))
+    total = next(it).num_rows
+    for info in _state.actors().values():
+        if "ContaminationFilter" in info.get("ActorClassName", "") \
+                and info.get("State") == "ALIVE" and info.get("Pid"):
+            try:
+                os.kill(info["Pid"], signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+    for b in it:
+        total += b.num_rows
+    assert total == 4000

@@ -226,6 +226,39 @@ def _candidate_pairs(rows: ray.data.Dataset, id_col: str,
     return g2.map_groups(distinct_pairs, batch_format="pyarrow")
 
 
+@ray.remote
+def _cand_unique_ids(id_col: str, max_ids: int, refs):
+    """(count, uniq-or-None) of distinct candidate-pair ids, computed
+    WORKER-side (plasma-backed zero-copy reads; the driver sees only
+    the count). Returns uniq=None when the guard fails so the caller
+    falls back without ever moving the id set."""
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return 0, None
+    ids_tbl = pa.concat_tables(
+        [t.select(["id_a"]).rename_columns([id_col]) for t in tables]
+        + [t.select(["id_b"]).rename_columns([id_col])
+           for t in tables])
+    uniq = pc.unique(ids_tbl[id_col].combine_chunks())
+    if len(uniq) > max_ids:
+        return len(uniq), None
+    return len(uniq), uniq
+
+
+@ray.remote
+def _text_broadcast_payload(id_col: str, text_col: str, refs):
+    """Sorted (ids ndarray, texts Array) broadcast payload, built
+    worker-side from the filtered candidate-text blocks."""
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    texts = pa.concat_tables(tables) if tables else None
+    if texts is None:
+        return np.empty(0, dtype=object), pa.array([], pa.string())
+    texts = texts.combine_chunks().take(pc.sort_indices(
+        texts, sort_keys=[(id_col, "ascending")]))
+    return (texts[id_col].to_numpy(zero_copy_only=False),
+            texts[text_col].combine_chunks())
+
+
 def _attach_texts(cand: ray.data.Dataset, ds: ray.data.Dataset,
                   text_col: str, id_col: str,
                   num_buckets: int = 64,
@@ -235,43 +268,35 @@ def _attach_texts(cand: ray.data.Dataset, ds: ray.data.Dataset,
     """Attach both texts to each candidate pair.
 
     Near-dup candidates are SPARSE by design, so the default plan is a
-    broadcast semi-join: collect the candidate id set (small — pairs,
-    not corpus), filter the corpus with one zero-shuffle vectorized
-    pass, broadcast the surviving (id -> text) map via ``ray.put`` and
-    attach both texts in one map over the pairs. Two shuffle stages
-    become zero (measured 4.0s -> 0.6s at sf0.1: the hash_joins' cost
-    was per-stage fixed overhead, not bytes). When candidates are NOT
-    sparse (id set or text bytes above the guards) it falls back to
-    the two bucketed hash_joins — only candidate texts move, pairwise,
-    never a whole-corpus broadcast."""
+    broadcast semi-join: compute the candidate id set (small — pairs,
+    not corpus) in a worker task, filter the corpus with one
+    zero-shuffle vectorized pass, build the (id -> text) broadcast
+    payload in a second worker task and attach both texts in one map
+    over the pairs. Two shuffle stages become zero (measured 4.0s ->
+    0.6s at sf0.1: the hash_joins' cost was per-stage fixed overhead,
+    not bytes). When candidates are NOT sparse (id set or text bytes
+    above the guards) it falls back to the two bucketed hash_joins —
+    only candidate texts move, pairwise, never a whole-corpus
+    broadcast. NOTHING in either plan materializes onto the driver:
+    the guards are checked from a worker-side count and from dataset
+    size metadata, so a pathological LSH bucket can at worst spill a
+    worker, never OOM the driver."""
     cand = cand.materialize()
-    ctables = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-    if ctables:
-        ids_tbl = pa.concat_tables(
-            [t.select(["id_a"]).rename_columns([id_col])
-             for t in ctables]
-            + [t.select(["id_b"]).rename_columns([id_col])
-               for t in ctables])
-        uniq = pc.unique(ids_tbl[id_col].combine_chunks())
-    else:
-        uniq = pa.array([], pa.string())
-    if ctables and len(uniq) <= broadcast_max_ids:
-        need_ref = ray.put(uniq)
-
+    count_ref, uniq_ref = _cand_unique_ids.options(num_returns=2) \
+        .remote(id_col, broadcast_max_ids,
+                list(cand.to_arrow_refs()))
+    n_uniq = ray.get(count_ref)
+    uniq_ok = 0 < n_uniq <= broadcast_max_ids
+    if uniq_ok:
         def pick(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b[id_col],
-                                     value_set=ray.get(need_ref)))
+                                     value_set=ray.get(uniq_ref)))
         pick.__name__ = "candidate_texts"
-        texts = pa.concat_tables(ray.get(
-            ds.select_columns([id_col, text_col])
-            .map_batches(pick, batch_format="pyarrow")
-            .materialize().to_arrow_refs()))
-        if texts.nbytes <= broadcast_max_bytes:
-            texts = texts.combine_chunks().take(pc.sort_indices(
-                texts, sort_keys=[(id_col, "ascending")]))
-            tref = ray.put((
-                texts[id_col].to_numpy(zero_copy_only=False),
-                texts[text_col].combine_chunks()))
+        texts_ds = ds.select_columns([id_col, text_col]) \
+            .map_batches(pick, batch_format="pyarrow").materialize()
+        if texts_ds.size_bytes() <= broadcast_max_bytes:
+            tref = _text_broadcast_payload.remote(
+                id_col, text_col, list(texts_ds.to_arrow_refs()))
 
             def attach(b: pa.Table) -> pa.Table:
                 ids_s, txts = ray.get(tref)

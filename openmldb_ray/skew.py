@@ -822,14 +822,32 @@ class _MultiBlockWindow:
 class _SummaryCollector:
     """Side-channel for the fused pin+summary pass: map tasks push one
     small summary table per block; ``drain`` hands the concatenation to
-    the assembly task without a second pass over the data."""
+    the assembly task without a second pass over the data.
+
+    Adds are deduplicated by content fingerprint: a retried pin task
+    (worker crash mid-materialize) re-runs its batch and would push
+    the SAME summary twice — without the dedupe that duplicate trips
+    the interleave guard and silently demotes every retried run to the
+    shuffle fallback. Byte-identical summaries can only come from the
+    same fragment (two distinct fragments differ in key or range; an
+    actual range collision is an interleaved layout the assembly
+    refuses anyway), so dropping them is always safe."""
 
     def __init__(self):
         self._tables = []
+        self._fps = set()
         self._max_batch_bytes = 0
 
     def add(self, t, batch_bytes: int = 0) -> None:
-        self._tables.append(t)
+        import hashlib
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        fp = hashlib.blake2b(sink.getvalue(),
+                             digest_size=16).digest()
+        if fp not in self._fps:
+            self._fps.add(fp)
+            self._tables.append(t)
         if batch_bytes > self._max_batch_bytes:
             self._max_batch_bytes = batch_bytes
 
@@ -897,7 +915,19 @@ def blockwise_corpus_features(
     O(entities x blocks x tail rows); ``plan_budget_bytes`` bounds it
     — a summary set too big to assemble on the driver raises
     ``_NotPresorted`` so callers fall back to the shuffle plan (a
-    hierarchical assembly would lift this)."""
+    hierarchical assembly would lift this).
+
+    Failure timing: every LAYOUT violation raises at PLAN time (block
+    summaries, assembly interleave guard, the fused-pin row-count
+    check), where callers can catch ``_NotPresorted`` and fall back.
+    The raises inside pass-2 eval ("fragment missing from blockwise
+    plan" / "split across blocks") are defense-in-depth against
+    invariant breakage between planning and eval; they fire when the
+    lazy result executes, so a caller that returns the dataset
+    unmaterialized (``materialize=False``) surfaces them as task
+    errors, not fallbacks — by design: a plan/eval mismatch means
+    neither plan can be trusted, and silent fallback would hide the
+    bug."""
     tail_rows = max((s.preceding_rows or 0) for s, _ in specs_aggs) + 1
     tail_range = max((s.preceding_range or 0) for s, _ in specs_aggs)
     specs = [(s, list(a)) for s, a in specs_aggs]
@@ -991,6 +1021,18 @@ def blockwise_corpus_features(
                    f"task {meta.get('task_s')}s "
                    f"{meta.get('phases')})", _t2)
         if meta["status"] == "ok":
+            # plan-coverage check (fuse_pin only — ds is materialized
+            # there, so count() is metadata): a lost summary add would
+            # otherwise surface as an EVAL-time "fragment missing from
+            # plan" task error, past the caller's fallback try/except
+            # when the result rides out lazily (materialize=False)
+            if fuse_pin and meta.get("total_rows") is not None:
+                pinned_rows = ds.count()
+                if meta["total_rows"] != pinned_rows:
+                    _raise(f"blockwise plan covers "
+                           f"{meta['total_rows']} rows but the pinned "
+                           f"dataset has {pinned_rows} (lost or "
+                           f"duplicated block summaries)")
             plan_ref = payload_ref
             break
         if meta["status"] == "refuse":

@@ -241,3 +241,22 @@ def test_blockwise_crosses_1e8_doc_index(ray_session):
                     "sA-000100000000", "src-0003-000000000007"])
     np.testing.assert_array_equal(
         _doc_idx(col), [42, 99_999_999, 100_000_000, 7])
+
+
+def test_summary_collector_dedupes_retried_adds(ray_session):
+    # a retried pin task re-pushes its batch summary; the collector
+    # must drop the byte-identical duplicate instead of letting it
+    # trip the interleave guard (silent demotion to shuffle fallback)
+    import pyarrow as pa
+    import ray as _ray
+
+    from openmldb_ray.skew import _SummaryCollector
+    c = _SummaryCollector.remote()
+    t1 = pa.table({"a": [1, 2]})
+    t2 = pa.table({"a": [3]})
+    _ray.get(c.add.remote(t1, 10))
+    _ray.get(c.add.remote(t1, 10))
+    _ray.get(c.add.remote(t2, 5))
+    n, mb = _ray.get(c.stats.remote())
+    assert n == 2 and mb == 10
+    assert _ray.get(c.drain.remote()).num_rows == 3

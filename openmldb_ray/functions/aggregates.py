@@ -132,37 +132,81 @@ def _grouped_aggregate_sketch(
     from openmldb_ray.functions.sketches import (HLLSketch, QuantileSketch,
                                                  hash_column)
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(keys, sort=False, dropna=False)
-        cols: dict = {}
-        for out, spec in aggs.items():
-            kind, col = spec[0], spec[1]
-            if kind == "mean":
-                cols[f"__{out}_s"] = g[col].sum()
-                cols[f"__{out}_c"] = g[col].count()
-            elif kind == "count":
-                cols[f"__{out}_c"] = (g.size() if col is None
-                                      else g[col].count())
-            elif kind == "sum":
-                cols[f"__{out}_p"] = g[col].sum()
-                cols[f"__{out}_c"] = g[col].count()
-            elif kind in ("min", "max"):
-                cols[f"__{out}_p"] = getattr(g[col], kind)()
-            elif kind == "percentile_approx":
-                def qsk(s: pd.Series) -> bytes:
+    # Arrow-native partial (same pa.Table.group_by pattern as the
+    # exact path): scalar parts come from native kernels, and each
+    # sketch column rides the SAME group_by as a "list" aggregation —
+    # per-key value runs land contiguously in the list child array, so
+    # every sketch folds from a numpy slice. The only per-key Python
+    # left is the sketch-object fold itself (inherent); no pandas
+    # groupby/apply in the combiner.
+    exact_parts: dict[tuple, list[str]] = {}
+    sketch_specs: list[tuple[str, str, str]] = []
+    for out, spec in aggs.items():
+        kind, col = spec[0], spec[1]
+        if kind == "mean":
+            exact_parts.setdefault((col, "sum"), []).append(f"__{out}_s")
+            exact_parts.setdefault((col, "count"), []).append(f"__{out}_c")
+        elif kind == "count":
+            fn = "count_all" if col is None else "count"
+            exact_parts.setdefault((col, fn), []).append(f"__{out}_c")
+        elif kind == "sum":
+            exact_parts.setdefault((col, "sum"), []).append(f"__{out}_p")
+            exact_parts.setdefault((col, "count"), []).append(f"__{out}_c")
+        elif kind in ("min", "max"):
+            exact_parts.setdefault((col, kind), []).append(f"__{out}_p")
+        elif kind in _SKETCH_KINDS:
+            sketch_specs.append((f"__{out}_k", kind, col))
+        else:
+            raise ValueError(f"unsupported aggregate kind {kind}")
+    list_cols = sorted({col for _, _, col in sketch_specs})
+    agg_list = [([] if col is None else col, fn)
+                for (col, fn) in exact_parts] \
+        + [(col, "list") for col in list_cols]
+
+    def partial(b: pa.Table) -> pa.Table:
+        res = b.group_by(keys, use_threads=False).aggregate(agg_list)
+        cols: dict = {k: res[k] for k in keys}
+        for (col, fn), parts in exact_parts.items():
+            src = "count_all" if col is None else f"{col}_{fn}"
+            for part in parts:
+                cols[part] = res[src]
+        ngroups = res.num_rows
+        for col in list_cols:
+            lst = res[f"{col}_list"].combine_chunks()
+            offs = np.asarray(lst.offsets, dtype=np.int64)
+            child = lst.flatten()
+            fold_q = [p for p, k, c in sketch_specs
+                      if c == col and k == "percentile_approx"]
+            fold_h = [p for p, k, c in sketch_specs
+                      if c == col and k == "approx_count_distinct"]
+            if fold_q:
+                vals = child.cast(pa.float64()) \
+                    .to_numpy(zero_copy_only=False)
+                out = []
+                for i in range(ngroups):
                     sk = QuantileSketch()
-                    sk.add(s.to_numpy(dtype=np.float64, na_value=np.nan))
-                    return sk.to_bytes()
-                cols[f"__{out}_k"] = g[col].apply(qsk)
-            elif kind == "approx_count_distinct":
-                def hsk(s: pd.Series) -> bytes:
+                    sk.add(vals[offs[i]:offs[i + 1]])
+                    out.append(sk.to_bytes())
+                for part in fold_q:
+                    cols[part] = pa.array(out, pa.binary())
+            if fold_h:
+                # hash once over the null-filtered child; cumsum of
+                # the valid mask maps list offsets into hash offsets
+                if child.null_count:
+                    valid = child.is_valid().to_numpy(
+                        zero_copy_only=False)
+                else:
+                    valid = np.ones(len(child), dtype=bool)
+                cs = np.concatenate(([0], np.cumsum(valid)))
+                h = hash_column(child)
+                out = []
+                for i in range(ngroups):
                     sk = HLLSketch()
-                    sk.add_hashes(hash_column(pa.array(s)))
-                    return sk.to_bytes()
-                cols[f"__{out}_k"] = g[col].apply(hsk)
-            else:
-                raise ValueError(f"unsupported aggregate kind {kind}")
-        return pd.DataFrame(cols).reset_index()
+                    sk.add_hashes(h[cs[offs[i]]:cs[offs[i + 1]]])
+                    out.append(sk.to_bytes())
+                for part in fold_h:
+                    cols[part] = pa.array(out, pa.binary())
+        return pa.table(cols)
 
     def merge(grp: pd.DataFrame) -> pd.DataFrame:
         out = grp[keys].iloc[:1].reset_index(drop=True)
@@ -212,7 +256,7 @@ def _grouped_aggregate_sketch(
     bucket_merge.__name__ = "sketch_bucket_merge"
 
     from openmldb_ray.context import shuffle_partitions
-    partials = ds.map_batches(partial, batch_format="pandas",
+    partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=65536)
     return partials.map_batches(tag, batch_format="pandas") \
         .groupby("__bkt__", num_partitions=shuffle_partitions(64)) \

@@ -242,6 +242,12 @@ def _tpch_q1_finalize(t: pa.Table) -> pa.Table:
 
 
 def _q_groupby_agg(sf_dir):
+    """TPC-H Q1 through BOTH aggregation paths (r5 fusion of the
+    former groupby_agg + groupby_agg_partial rows): the native Ray
+    groupby().aggregate() result is returned, and the explicit
+    map-side partial-combine path (functions.aggregates
+    .grouped_aggregate — the 100 TB pattern) is asserted bit-equal to
+    it inside the callable, so one driver row verifies both."""
     from ray.data.aggregate import Count, Sum
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -254,27 +260,26 @@ def _q_groupby_agg(sf_dir):
         Sum("disc_price_u", alias_name="sum_disc_price_u"),
         Sum("charge_u", alias_name="sum_charge_u"),
         Count(alias_name="count_order"))
-    return agg.map_batches(_tpch_q1_finalize, batch_format="pyarrow")
+    native = agg.map_batches(_tpch_q1_finalize,
+                             batch_format="pyarrow").to_pandas()
 
-
-def _q_groupby_agg_partial(sf_dir):
-    """Same TPC-H Q1 shape via the explicit map-side partial-combine
-    path (functions.aggregates.grouped_aggregate) — the 100 TB pattern;
-    shares the groupby_agg oracle."""
     from openmldb_ray.functions.aggregates import grouped_aggregate
-    li = _read(sf_dir, "lineitem",
-               ["l_returnflag", "l_linestatus", "l_quantity",
-                "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
-    li = li.map_batches(_tpch_q1_derive, batch_format="pyarrow")
-    agg = grouped_aggregate(li, ["l_returnflag", "l_linestatus"], {
+    part = grouped_aggregate(li, ["l_returnflag", "l_linestatus"], {
         "sum_qty_c": ("sum", "qty_c"),
         "sum_price_c": ("sum", "price_c"),
         "sum_disc_c": ("sum", "disc_c"),
         "sum_disc_price_u": ("sum", "disc_price_u"),
         "sum_charge_u": ("sum", "charge_u"),
         "count_order": ("count", None),
-    })
-    return agg.map_batches(_tpch_q1_finalize, batch_format="pyarrow")
+    }).map_batches(_tpch_q1_finalize, batch_format="pyarrow") \
+        .to_pandas()
+    keys = ["l_returnflag", "l_linestatus"]
+    a = native.sort_values(keys).reset_index(drop=True)
+    b = part[a.columns].sort_values(keys).reset_index(drop=True)
+    if not a.equals(b):
+        raise AssertionError(
+            "partial-combine path diverged from native groupby")
+    return a
 
 
 def _q_filter_project(sf_dir):
@@ -409,21 +414,6 @@ def _q_corpus_features(sf_dir):
 def _q_corpus_asof(sf_dir):
     from openmldb_ray.pipelines.corpus import flagship
     return _canon_corpus(flagship(sf_dir, num_buckets=16))
-
-
-def _q_token_count(sf_dir):
-    from openmldb_ray.ops.text import TokenCount, with_text_features
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = with_text_features(docs, [TokenCount])
-    return out.select_columns(["doc_id", "n_words"])
-
-
-def _q_text_quality(sf_dir):
-    from openmldb_ray.ops.text import QualityScore, with_text_features
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = with_text_features(docs, [QualityScore])
-    return out.select_columns(["doc_id", "n_chars", "n_words",
-                               "avg_word_len", "digit_ratio", "punct_ratio"])
 
 
 def _q_repetition(sf_dir):
@@ -575,12 +565,15 @@ def _q_minhash_dedup(sf_dir):
 
 
 def _q_simhash_pairs(sf_dir):
-    """SimHash near-dup pairs via the 4x16-bit table split (rows-only;
-    FNV bit votes are not SQL-expressible). Exercises the signature
-    stage internally; signatures themselves are pytest-covered."""
+    """SimHash near-dup pairs via the 4x16-bit table split, GREEN as
+    of r5: at max_hamming <= 3 the table split guarantees full recall
+    (pigeonhole), and the oracle recomputes the 64-bit FNV-1a word
+    hashes, the per-bit majority votes and the pair Hamming distances
+    entirely in DuckDB (HUGEINT modular arithmetic; bit-exact vs
+    functions.hashing.simhash_batch, ASCII corpus)."""
     from openmldb_ray.ops.dedup import simhash_duplicate_pairs
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_duplicate_pairs(docs, max_hamming=8)
+    return simhash_duplicate_pairs(docs, max_hamming=3)
 
 
 def _q_multimodal_decode(sf_dir):
@@ -798,21 +791,6 @@ def _q_window_maxsize(sf_dir):
                       passthrough=["event_id", "user_id", "ts"])
 
 
-_UNION_ALL_SQL = """
-  SELECT o_custkey AS k, o_totalprice AS v FROM orders
-  WHERE o_totalprice > 100000
-  UNION ALL
-  SELECT c_custkey AS k, c_acctbal AS v FROM customer
-  WHERE c_acctbal < 0"""
-
-_UNION_DISTINCT_SQL = """
-  SELECT n_regionkey AS rk FROM nation
-  UNION
-  SELECT r_regionkey AS rk FROM region
-  UNION ALL
-  SELECT n_regionkey AS rk FROM nation WHERE n_nationkey < 3"""
-
-
 _APPROX_AGG_SQL = """
   SELECT user_id,
          percentile_approx(value, 0.5) AS p50,
@@ -832,18 +810,165 @@ def _q_approx_agg(sf_dir):
     return sql(_APPROX_AGG_SQL, sf_dir, dialect="ansi")
 
 
-def _q_union_all(sf_dir):
-    """UNION ALL set operation through the SQL front end (reference
-    parser surface cases/plan/union_query.yaml; positional alignment,
-    left branch names)."""
-    from openmldb_ray.sql import sql
-    return sql(_UNION_ALL_SQL, sf_dir, dialect="ansi")
+def _q_window_edge_frames(sf_dir):
+    """Three frame-edge semantics fused into ONE driver row (r5: frees
+    rows for the hygiene slate without losing any verification — the
+    oracle checks all three column groups): OPEN PRECEDING, WINDOW
+    UNION + INSTANCE_NOT_IN_WINDOW, and EXCLUDE CURRENT_TIME under
+    heavy ts ties, joined on event_id."""
+    from openmldb_ray.joins.hash_join import hash_join
+    open_o = _q_window_open_preceding(sf_dir) \
+        .rename_columns({"s": "s_open", "n": "n_open"})
+    inw_o = _q_window_inw(sf_dir) \
+        .rename_columns({"s": "s_inw", "n": "n_inw"}) \
+        .select_columns(["event_id", "s_inw", "n_inw"])
+    ect_o = _q_window_ect_ties(sf_dir) \
+        .rename_columns({"s": "s_ect", "n": "n_ect"}) \
+        .select_columns(["event_id", "ts2", "s_ect", "n_ect"])
+    idt, f64, i64 = pa.int64(), pa.float64(), pa.int64()
+    lsch = pa.schema([("event_id", idt), ("user_id", i64),
+                      ("ts", pa.timestamp("us")),
+                      ("s_open", f64), ("n_open", i64)])
+    j = hash_join(open_o, inw_o, on="event_id", left_schema=lsch,
+                  right_schema=pa.schema([("event_id", idt),
+                                          ("s_inw", f64),
+                                          ("n_inw", i64)]))
+    return hash_join(
+        j, ect_o, on="event_id",
+        left_schema=lsch.append(pa.field("s_inw", f64))
+        .append(pa.field("n_inw", i64)),
+        right_schema=pa.schema([("event_id", idt), ("ts2", i64),
+                                ("s_ect", f64), ("n_ect", i64)]))
 
 
-def _q_union_distinct(sf_dir):
-    """Mixed UNION DISTINCT / UNION ALL left-associative chain."""
+_UNION_OPS_SQL = """
+  SELECT 'hi' AS branch, CAST(k AS DOUBLE) AS k, v FROM (
+    SELECT o_custkey AS k, o_totalprice AS v FROM orders
+    WHERE o_totalprice > 100000
+    UNION ALL
+    SELECT c_custkey AS k, c_acctbal AS v FROM customer
+    WHERE c_acctbal < 0) t
+  UNION ALL
+  SELECT 'rk' AS branch, CAST(rk AS DOUBLE) AS k, 0.0 AS v FROM (
+    SELECT n_regionkey AS rk FROM nation
+    UNION
+    SELECT r_regionkey AS rk FROM region
+    UNION ALL
+    SELECT n_regionkey AS rk FROM nation WHERE n_nationkey < 3) u"""
+
+
+def _q_union_ops(sf_dir):
+    """UNION ALL and mixed UNION DISTINCT / UNION ALL chains fused in
+    one statement (r5 row-freeing fusion of the former union_all +
+    union_distinct rows): both set-op semantics, subquery FROMs and
+    positional alignment through the SQL front end."""
     from openmldb_ray.sql import sql
-    return sql(_UNION_DISTINCT_SQL, sf_dir, dialect="ansi")
+    return sql(_UNION_OPS_SQL, sf_dir, dialect="ansi")
+
+
+def _q_text_stats(sf_dir):
+    """TokenCount (zero-copy byte-class kernel) + QualityScore chained
+    in one row (r5 fusion of token_count + text_quality; the n_words
+    the oracle checks flows through BOTH stages)."""
+    from openmldb_ray.ops.text import (QualityScore, TokenCount,
+                                       with_text_features)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = with_text_features(docs, [TokenCount, QualityScore])
+    return out.select_columns(["doc_id", "n_words", "n_chars",
+                               "avg_word_len", "digit_ratio",
+                               "upper_ratio", "punct_ratio"])
+
+
+def _q_dedup_paragraphs(sf_dir):
+    """Paragraph-level exact dedup over the documents table (first
+    occurrence by (doc_id, paragraph index) survives; docs rebuilt from
+    surviving paragraphs, emptied docs dropped)."""
+    from openmldb_ray.ops.corpus_ops import dedup_paragraphs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_paragraphs(docs, num_buckets=16)
+
+
+def _q_decontaminate(sf_dir):
+    """Benchmark decontamination: the eval set is docs 0..19, the
+    corpus is the rest; tag_only surfaces the distinct-matched-8-gram
+    count per doc so the oracle checks the hit arithmetic, not just
+    the surviving set."""
+    from openmldb_ray.ops.corpus_ops import decontaminate
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ev = docs.filter(expr="doc_id < 20")
+    rest = docs.filter(expr="doc_id >= 20")
+    eval_texts = [r["text"] for r in ev.take_all()]
+    out = decontaminate(rest, eval_texts, n=8, min_hits=1,
+                        tag_only=True)
+    return out.select_columns(["doc_id", "ngram_hits", "contaminated"])
+
+
+def _q_pii_gopher(sf_dir):
+    """PII redaction + the Gopher quality rules in one pass: rule
+    booleans computed on the ORIGINAL text, then the text column is
+    rewritten with typed placeholders. Every output column is
+    recomputable in DuckDB (RE2 patterns verbatim)."""
+    from openmldb_ray.ops.text import GopherRules, PiiRedact
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(GopherRules(), batch_format="pyarrow",
+                           batch_size=4096) \
+        .map_batches(PiiRedact(), batch_format="pyarrow",
+                     batch_size=4096)
+    return out.select_columns([
+        "doc_id", "text", "pii_count", "rule_word_count",
+        "rule_avg_word_len", "rule_symbol_ratio", "rule_bullet_lines",
+        "rule_ellipsis_lines", "rule_alpha_words", "rule_stop_words",
+        "gopher_pass"])
+
+
+def _q_mix_sources(sf_dir):
+    """Token-budget source mixing: the oracle-checked surface is the
+    PLAN (per-source input token totals from the distributed pass-1
+    partials, the largest-feasible budget, and the per-source keep
+    fractions) — pure arithmetic over the table, SQL-expressible. The
+    hash-threshold keep rule itself is pytest-covered
+    (tests/test_hygiene_ops.py)."""
+    import pandas as pd
+
+    from openmldb_ray.ops.corpus_ops import mix_sources
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    _, stats = mix_sources(docs, {"src0": 3.0, "src1": 1.0},
+                           tok_col="n_chars")
+    rows = sorted(stats["fractions"])
+    return pd.DataFrame({
+        "source": rows,
+        "input_tokens": [float(stats["source_tokens"].get(s, 0))
+                         for s in rows],
+        "fraction": [stats["fractions"][s] for s in rows],
+        "budget_tokens": [stats["budget_tokens"]] * len(rows),
+    })
+
+
+def _q_knn_ivf_indexed(sf_dir):
+    """The persisted-IVF-index serving path at FULL probe: builds the
+    cluster-partitioned index, routes queries through the pruned
+    partition read, and with nprobe == num_clusters the result is
+    exactly brute-force top-k — a green oracle for the index build +
+    partitioned layout + routed read; partial-probe recall stays
+    pytest-bounded (tests/test_ann.py)."""
+    import os
+
+    from openmldb_ray.ops.ann import build_ivf_index, knn_ivf_indexed
+    qids, qm = _ann_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = "/tmp/openmldb_ray_qivf_" + os.path.basename(
+        os.path.normpath(sf_dir))
+    build_ivf_index(emb, idx, num_clusters=8, force=True)
+    out = knn_ivf_indexed(idx, qm, qids, k=10, nprobe=8)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "rank": t["rank"],
+            "sim_r": pc.round(t["cosine_sim"], ndigits=4),
+        })
+    return out.map_batches(fn, batch_format="pyarrow")
 
 
 def _q_window_presorted(sf_dir):
@@ -897,9 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _q_window_distinct,
         "window_at": _q_window_at,
         "window_salted": _q_window_salted,
-        "window_ect_ties": _q_window_ect_ties,
-        "window_open_preceding": _q_window_open_preceding,
-        "window_inw": _q_window_inw,
+        "window_edge_frames": _q_window_edge_frames,
         "window_concat_keys": _q_window_concat_keys,
         "window_presorted": _q_window_presorted,
         "window_nested": _q_window_nested,
@@ -912,26 +1035,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_join_multikey": _q_last_join_multikey,
         "last_join_orderby": _q_last_join_orderby,
         "groupby_agg": _q_groupby_agg,
-        "groupby_agg_partial": _q_groupby_agg_partial,
         "approx_agg": _q_approx_agg,
         "filter_project": _q_filter_project,
         "sort_limit": _q_sort_limit,
         "distinct": _q_distinct,
         "left_join": _q_left_join,
-        "union_all": _q_union_all,
-        "union_distinct": _q_union_distinct,
+        "union_ops": _q_union_ops,
         "scalar_string_math": _q_scalar_string_math,
         "scalar_datetime": _q_scalar_datetime,
         "corpus_features": _q_corpus_features,
         "corpus_asof": _q_corpus_asof,
-        "token_count": _q_token_count,
-        "text_quality": _q_text_quality,
+        "text_stats": _q_text_stats,
         "dedup_exact": _q_dedup_exact,
         "repetition": _q_repetition,
         "corpus_clean": _q_corpus_clean,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "decontaminate": _q_decontaminate,
+        "pii_gopher": _q_pii_gopher,
+        "mix_sources": _q_mix_sources,
         "langid_fingerprint": _q_langid_fingerprint,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_approx": _q_ann_approx,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "embedding_dups": _q_embedding_dups,
@@ -1076,40 +1201,48 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY ts DESC LIMIT 1 OFFSET 2) AS at2,
             value AS fv
           FROM events e""",
-        "window_ect_ties": """
+        # r5 fusion: OPEN PRECEDING + WINDOW UNION/INW + ECT-under-ties
+        # verified by one row (joined on event_id)
+        "window_edge_frames": """
           WITH b AS (
             SELECT event_id, user_id,
                    (epoch_us(ts) // 600000000) * 600000000 AS ts2,
                    value
-            FROM events)
-          SELECT e.event_id, e.user_id, e.ts2,
-            (SELECT coalesce(sum(value), 0) FROM b e2
-             WHERE e2.user_id = e.user_id AND e2.ts2 < e.ts2
-               AND e2.ts2 >= e.ts2 - 3600000000) + e.value AS s,
-            (SELECT count(*) FROM b e2
-             WHERE e2.user_id = e.user_id AND e2.ts2 < e.ts2
-               AND e2.ts2 >= e.ts2 - 3600000000) + 1 AS n
-          FROM b e""",
-        "window_open_preceding": """
-          SELECT event_id, user_id, ts, sum(value) OVER w AS s,
-                 count(*) OVER w AS n
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                       RANGE BETWEEN (INTERVAL 1 HOUR - INTERVAL 1
-                       MICROSECOND) PRECEDING AND CURRENT ROW)""",
-        "window_inw": """
-          -- INW frame = instance row + union ('click') rows in range
-          SELECT e.event_id, e.user_id, e.ts,
-            round(e.value + coalesce((
-              SELECT sum(u.value) FROM events u
-              WHERE u.event_type = 'click' AND u.user_id = e.user_id
-                AND u.ts >= e.ts - INTERVAL 1 HOUR AND u.ts <= e.ts),
-              0), 4) AS s,
-            1 + (SELECT count(*) FROM events u
-                 WHERE u.event_type = 'click' AND u.user_id = e.user_id
-                   AND u.ts >= e.ts - INTERVAL 1 HOUR
-                   AND u.ts <= e.ts) AS n
-          FROM events e""",
+            FROM events),
+          openw AS (
+            SELECT event_id, user_id, ts, sum(value) OVER w AS s_open,
+                   count(*) OVER w AS n_open
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN (INTERVAL 1 HOUR - INTERVAL 1
+                         MICROSECOND) PRECEDING AND CURRENT ROW)),
+          inw AS (
+            -- INW frame = instance row + union ('click') rows in range
+            SELECT e.event_id,
+              round(e.value + coalesce((
+                SELECT sum(u.value) FROM events u
+                WHERE u.event_type = 'click' AND u.user_id = e.user_id
+                  AND u.ts >= e.ts - INTERVAL 1 HOUR AND u.ts <= e.ts),
+                0), 4) AS s_inw,
+              1 + (SELECT count(*) FROM events u
+                   WHERE u.event_type = 'click'
+                     AND u.user_id = e.user_id
+                     AND u.ts >= e.ts - INTERVAL 1 HOUR
+                     AND u.ts <= e.ts) AS n_inw
+            FROM events e),
+          ect AS (
+            SELECT e.event_id, e.ts2,
+              (SELECT coalesce(sum(value), 0) FROM b e2
+               WHERE e2.user_id = e.user_id AND e2.ts2 < e.ts2
+                 AND e2.ts2 >= e.ts2 - 3600000000) + e.value AS s_ect,
+              (SELECT count(*) FROM b e2
+               WHERE e2.user_id = e.user_id AND e2.ts2 < e.ts2
+                 AND e2.ts2 >= e.ts2 - 3600000000) + 1 AS n_ect
+            FROM b e)
+          SELECT o.event_id, o.user_id, o.ts, o.s_open, o.n_open,
+                 i.s_inw, i.n_inw, c.ts2, c.s_ect, c.n_ect
+          FROM openw o JOIN inw i USING (event_id)
+                       JOIN ect c USING (event_id)""",
         "window_concat_keys": """
           SELECT event_id, user_id, ts,
             sum(value) OVER wu AS su, count(*) OVER wt AS ct
@@ -1212,7 +1345,6 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H Q1, computed over exact integer cents so the float
         # outputs are order-independent and bit-identical to the Ray
         # side (float sums reduce in nondeterministic order otherwise)
-        "groupby_agg_partial": _TPCH_Q1_EXACT_SQL,
         "groupby_agg": _TPCH_Q1_EXACT_SQL,
         # sketches are exact below capacity, so the oracle is exact SQL
         "approx_agg": """
@@ -1236,8 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "left_join": """
           SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
           FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
-        "union_all": _UNION_ALL_SQL,
-        "union_distinct": _UNION_DISTINCT_SQL,
+        "union_ops": _UNION_OPS_SQL,
         "scalar_string_math": """
           SELECT p_partkey,
                  upper(p_name) AS name_up,
@@ -1272,11 +1403,6 @@ def oracle_sql() -> dict[str, str]:
           FROM feats f
           ASOF LEFT JOIN dim d
             ON f.source = d.source AND f.ts >= d.dim_ts""",
-        "token_count": """
-          SELECT doc_id,
-                 CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                      AS BIGINT) AS n_words
-          FROM documents""",
         "corpus_clean": r"""
           WITH surv AS (
             SELECT doc_id, text, source FROM documents
@@ -1327,11 +1453,13 @@ def oracle_sql() -> dict[str, str]:
                                   / agg.n_bigrams
                        ELSE 0.0 END, 6) AS dup_bigram_ratio
           FROM w LEFT JOIN agg USING (doc_id)""",
-        "text_quality": """
+        # r5 fusion of token_count + text_quality: n_words flows
+        # through BOTH the TokenCount byte kernel and QualityScore
+        "text_stats": """
           SELECT doc_id,
-            CAST(length(text) AS BIGINT) AS n_chars,
             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
               AS n_words,
+            CAST(length(text) AS BIGINT) AS n_chars,
             (length(text) - greatest(
                len(regexp_split_to_array(trim(text), '\\s+')) - 1, 0))
               / CAST(greatest(
@@ -1339,6 +1467,8 @@ def oracle_sql() -> dict[str, str]:
                 AS DOUBLE) AS avg_word_len,
             len(regexp_extract_all(text, '[0-9]'))
               / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+            len(regexp_extract_all(text, '[A-Z]'))
+              / CAST(greatest(length(text), 1) AS DOUBLE) AS upper_ratio,
             len(regexp_extract_all(text, '[.,;:!?]'))
               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
           FROM documents""",
@@ -1466,16 +1596,206 @@ def oracle_sql() -> dict[str, str]:
                ORDER BY e2.ts DESC LIMIT 4)
              WHERE props IS NOT NULL) AS joined
           FROM events e""",
-        # window_maxsize was upgraded in r3; langid_fingerprint,
-        # ann_approx, simhash_pairs stay rows-only: non-ANSI-SQL-
-        # expressible (heuristic model, LSH/IVF recall, FNV simhash
-        # bit votes).
+        # ----- r5 hygiene-slate oracles -----
+        # paragraph dedup: unnest + QUALIFY first-occurrence + ordered
+        # string_agg rebuild (same formulation as the pytest oracle)
+        "dedup_paragraphs": """
+          WITH paras AS (
+            SELECT doc_id, p.para, p.idx - 1 AS idx
+            FROM documents,
+            LATERAL (SELECT unnest(str_split(text, chr(10)||chr(10)))
+                       AS para,
+                     generate_subscripts(
+                       str_split(text, chr(10)||chr(10)), 1) AS idx) p
+            WHERE trim(p.para) <> ''),
+          surv AS (
+            SELECT doc_id, para, idx FROM paras
+            QUALIFY row_number() OVER (PARTITION BY para
+                                       ORDER BY doc_id, idx) = 1)
+          SELECT doc_id,
+                 string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
+          FROM surv GROUP BY doc_id""",
+        # decontamination: distinct word-8-grams shared with the
+        # doc_id<20 eval slice, counted per corpus doc
+        "decontaminate": """
+          WITH ev AS (SELECT text FROM documents WHERE doc_id < 20),
+          rest AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id >= 20),
+          evw AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+                                     w -> w <> '') AS ws FROM ev),
+          evg AS (
+            SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+                   ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||
+                   ws[i+6]||' '||ws[i+7] AS gram
+            FROM evw, LATERAL (SELECT unnest(generate_series(
+                   1, greatest(len(ws) - 7, 0))) AS i) t),
+          rw AS (SELECT doc_id,
+                        list_filter(string_split_regex(text, '\\s+'),
+                                    w -> w <> '') AS ws FROM rest),
+          rg AS (
+            SELECT DISTINCT doc_id,
+                   ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||
+                   ' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||
+                   ws[i+7] AS gram
+            FROM rw, LATERAL (SELECT unnest(generate_series(
+                   1, greatest(len(ws) - 7, 0))) AS i) t),
+          hits AS (SELECT rg.doc_id, count(*) AS h
+                   FROM rg JOIN evg USING (gram) GROUP BY rg.doc_id)
+          SELECT r.doc_id,
+                 CAST(coalesce(h.h, 0) AS BIGINT) AS ngram_hits,
+                 coalesce(h.h, 0) >= 1 AS contaminated
+          FROM rest r LEFT JOIN hits h USING (doc_id)""",
+        "pii_gopher": _PII_GOPHER_SQL,
+        # mix_sources: the PLAN surface (input totals / budget /
+        # fractions) — n_chars values are integral doubles, so the
+        # sums are order-independent-exact on both engines
+        "mix_sources": """
+          WITH tot AS (SELECT source, sum(n_chars) AS tk
+                       FROM documents GROUP BY source),
+          w(source, wt) AS (VALUES ('src0', 0.75), ('src1', 0.25)),
+          b AS (SELECT min(tk / wt) AS budget
+                FROM tot JOIN w USING (source))
+          SELECT w.source, tot.tk AS input_tokens,
+                 least(1.0, b.budget * w.wt / tot.tk) AS fraction,
+                 b.budget AS budget_tokens
+          FROM w JOIN tot USING (source) CROSS JOIN b""",
+        # full-probe IVF == brute force (same scoring, every
+        # partition read) — reuses the brute-force oracle text
+        "knn_ivf_indexed": """
+          WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 4),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS sim
+            FROM q CROSS JOIN embeddings e),
+          ranked AS (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, rank, round(sim, 4) AS sim_r
+          FROM ranked WHERE rank <= 10""",
+        # simhash (r5 upgrade): FNV-1a word hashes via HUGEINT modular
+        # arithmetic, per-bit majority votes, pair Hamming via
+        # bit_count(xor) — bit-exact vs functions.hashing.simhash_batch
+        # on the ASCII corpus; max_hamming=3 is the 4x16-bit split's
+        # full-recall bound, so the engine's bucketed pipeline must
+        # emit EXACTLY these pairs
+        "simhash_pairs": """
+          WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+          words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+          dw AS (SELECT DISTINCT w FROM words),
+          wh AS (
+            SELECT w,
+              list_reduce(
+                list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                  list_transform(range(1, length(w) + 1),
+                    i -> CAST(ascii(substring(w, i, 1)) AS HUGEINT))),
+                (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                      CAST(b AS UBIGINT)) AS HUGEINT)
+                             * 1099511628211)
+                            % CAST(18446744073709551616 AS HUGEINT)
+              ) AS h
+            FROM dw),
+          bits AS (
+            SELECT wo.doc_id, j.j,
+                   sum(CASE WHEN (CAST(wh.h AS UBIGINT) >> j.j) & 1 = 1
+                       THEN 1 ELSE 0 END) AS ones,
+                   count(*) AS nw
+            FROM words wo JOIN wh ON wo.w = wh.w
+            CROSS JOIN (SELECT unnest(range(64)) AS j) j
+            GROUP BY wo.doc_id, j.j),
+          sig0 AS (
+            SELECT doc_id,
+                   sum(CASE WHEN 2 * ones > nw
+                       THEN CAST(1 AS UBIGINT) << j ELSE 0 END) AS sig
+            FROM bits GROUP BY doc_id),
+          sigs AS (
+            SELECT d.doc_id, coalesce(CAST(s.sig AS UBIGINT), 0) AS sig
+            FROM documents d LEFT JOIN sig0 s USING (doc_id))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+        # langid_fingerprint and ann_approx stay rows-only: a
+        # heuristic language model and partial-probe ANN recall have
+        # no ANSI-SQL oracle (recall is pytest-bounded vs exact).
     }
 
 
 # Distinct word-3-gram sets per doc (str.split-equivalent whitespace
 # tokenization), intersection sizes via a gram self-join, exact
 # Jaccard per pair — the shared CTE for the near-dup oracles.
+def _pii_gopher_sql() -> str:
+    """pii_gopher oracle: the PiiRedact replace chain and the Gopher
+    rule arithmetic rebuilt from the SAME pattern constants (RE2 runs
+    verbatim in DuckDB), so a drift in either pattern set breaks the
+    match."""
+    from openmldb_ray.ops.text import GopherRules, PiiRedact
+    red = "text"
+    cnts = []
+    for _name, pat, repl in PiiRedact.PATTERNS:
+        cnts.append(f"len(regexp_extract_all(text, '{pat}'))")
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    stops = " + ".join(
+        "CAST(regexp_matches(lower(text), '\\b" + w + "\\b') AS INT)"
+        for w in GopherRules.REQUIRED_STOPS)
+    tmpl = """
+      WITH g AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(text, '\\s+'),
+                      w -> w <> '') AS ws,
+          length(text) - len(regexp_extract_all(text, '\\s'))
+            AS nonspace,
+          len(regexp_extract_all(text, '#'))
+            + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+          length(text) - length(replace(text, chr(10), '')) + 1
+            AS n_lines,
+          len(regexp_extract_all(text, '(?:^|\\n)[ \\t]*[\u2022\\-\\*] '))
+            AS bullets,
+          len(regexp_extract_all(text, '\\.\\.\\.[ \\t]*(\\n|$)'))
+            AS ellipsis,
+          (@STOPS@) AS stop_hits,
+          @RED@ AS red,
+          (@CNT@) AS pii_count
+        FROM documents),
+      g2 AS (
+        SELECT *, len(ws) AS n_words, greatest(len(ws), 1) AS nw,
+               len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                 AS n_alpha
+        FROM g),
+      r AS (
+        SELECT doc_id, red, pii_count,
+          n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+          nonspace / nw >= 3.0 AND nonspace / nw <= 10.0
+            AS rule_avg_word_len,
+          symbols / nw <= 0.1 AS rule_symbol_ratio,
+          bullets / n_lines <= 0.9 AS rule_bullet_lines,
+          ellipsis / n_lines <= 0.3 AS rule_ellipsis_lines,
+          1.0 - (n_words - n_alpha) / nw >= 0.8 AS rule_alpha_words,
+          stop_hits >= 2 AS rule_stop_words
+        FROM g2)
+      SELECT doc_id, red AS text,
+        CAST(pii_count AS BIGINT) AS pii_count,
+        rule_word_count, rule_avg_word_len, rule_symbol_ratio,
+        rule_bullet_lines, rule_ellipsis_lines, rule_alpha_words,
+        rule_stop_words,
+        rule_word_count AND rule_avg_word_len AND rule_symbol_ratio
+          AND rule_bullet_lines AND rule_ellipsis_lines
+          AND rule_alpha_words AND rule_stop_words AS gopher_pass
+      FROM r"""
+    return tmpl.replace("@STOPS@", stops).replace("@RED@", red) \
+        .replace("@CNT@", " + ".join(cnts))
+
+
+_PII_GOPHER_SQL = _pii_gopher_sql()
+
+
 _NGRAM_JACCARD_CTE = """
   WITH ws AS (
     SELECT doc_id,

@@ -239,6 +239,20 @@ def bench_pii_gopher() -> tuple[float, int]:
     return time.time() - t0, rows
 
 
+def bench_dedup_lines() -> tuple[float, int]:
+    """Line-level exact dedup (r5): the dedup_paragraphs machinery at
+    newline granularity — more segments per doc, same one-shuffle
+    first-occurrence + fused rebuild shape."""
+    from openmldb_ray.io import read_parquet_per_file
+    from openmldb_ray.ops.corpus_ops import dedup_lines
+    path = _prepare_text_corpus()
+    docs = read_parquet_per_file(path, file_extensions=["parquet"],
+                                 columns=["doc_id", "text"])
+    t0 = time.time()
+    rows = dedup_lines(docs, "text", "doc_id").count()
+    return time.time() - t0, rows
+
+
 def bench_minhash_pairs() -> tuple[float, int]:
     """MinHash+LSH near-duplicate pairs over sf documents: shingle ->
     minhash -> banded buckets -> bucket-local candidate pairs ->
@@ -349,6 +363,7 @@ def run_all() -> dict:
         "minhash_pairs": bench_minhash_pairs,
         "dedup_paragraphs": bench_dedup_paragraphs,
         "decontaminate": bench_decontaminate,
+        "dedup_lines": bench_dedup_lines,
         "pii_gopher": bench_pii_gopher,
         "window_tslog_blockwise": bench_window_tslog,
         "long_window_preagg": bench_long_window_preagg,

@@ -35,13 +35,14 @@ from openmldb_ray.functions.sketches import _splitmix64
 _PRIME = np.uint64(0x100000001B3)
 
 
-def _split_paras(texts) -> tuple[pa.Array, np.ndarray]:
-    """Split a batch of texts into non-blank paragraphs entirely in
-    Arrow. Returns ``(flat_paras, doc_off)``: doc *d* owns paragraphs
+def _split_paras(texts, sep: str = "\n\n") -> tuple[pa.Array, np.ndarray]:
+    """Split a batch of texts into non-blank segments entirely in
+    Arrow. Returns ``(flat_paras, doc_off)``: doc *d* owns segments
     ``flat_paras[doc_off[d]:doc_off[d+1]]`` in document order, with
-    whitespace-only paragraphs dropped (the ``p.strip()`` rule — both
-    the explode and the rebuild use THIS function, so paragraph
-    indices always agree between the two passes)."""
+    whitespace-only segments dropped (the ``p.strip()`` rule — both
+    the explode and the rebuild use THIS function, so segment
+    indices always agree between the two passes). ``sep`` picks the
+    granularity: blank line = paragraphs, newline = lines."""
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array(list(texts), type=pa.string())
     if isinstance(texts, pa.ChunkedArray):
@@ -49,7 +50,7 @@ def _split_paras(texts) -> tuple[pa.Array, np.ndarray]:
     texts = pc.fill_null(texts, "")
     if pa.types.is_large_string(texts.type):
         texts = texts.cast(pa.string())
-    split = pc.split_pattern(texts, pattern="\n\n")
+    split = pc.split_pattern(texts, pattern=sep)
     raw_off = np.asarray(split.offsets, dtype=np.int64)
     flat = split.flatten()
     if isinstance(flat, pa.ChunkedArray):
@@ -64,11 +65,11 @@ def _split_paras(texts) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(keep), doc_off
 
 
-def _para_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(hashes, doc_off): FNV of each non-blank paragraph (split on
-    blank lines), flat layout — hashes the UNSTRIPPED paragraph
-    bytes, vectorized over the batch's flat UTF-8 buffer."""
-    flat, doc_off = _split_paras(texts)
+def _para_hashes(texts, sep: str = "\n\n") -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, doc_off): FNV of each non-blank segment (split on
+    ``sep``), flat layout — hashes the UNSTRIPPED segment bytes,
+    vectorized over the batch's flat UTF-8 buffer."""
+    flat, doc_off = _split_paras(texts, sep)
     lb = flat.cast(pa.large_binary())
     off = np.frombuffer(lb.buffers()[1], dtype=np.int64)
     off = off[lb.offset: lb.offset + len(lb) + 1]
@@ -79,7 +80,8 @@ def _para_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
 
 def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
                      id_col: str = "doc_id",
-                     num_buckets: int = 64) -> ray.data.Dataset:
+                     num_buckets: int = 64,
+                     sep: str = "\n\n") -> ray.data.Dataset:
     """Paragraph-level exact dedup: each distinct paragraph survives
     only at its FIRST occurrence (smallest (doc_id, paragraph index)
     across the corpus); every doc's text is rebuilt from its surviving
@@ -89,7 +91,7 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
     64-bit paragraph hashes stand in for exact strings (collision odds
     ~2^-30 at corpus scale); the oracle/test compares exact strings."""
     def explode(b: pa.Table) -> pa.Table:
-        h, doc_off = _para_hashes(b[text_col])
+        h, doc_off = _para_hashes(b[text_col], sep)
         counts = np.diff(doc_off)
         ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), counts)
         total = int(doc_off[-1])
@@ -206,7 +208,8 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
         # (same Arrow rule as the explode, so __pidx__ lines up),
         # gather the kept paragraphs with one flat take and join per
         # doc with pc.binary_join — no per-document Python loop
-        flat, doc_off = _split_paras(tx[text_col].take(pa.array(lidx)))
+        flat, doc_off = _split_paras(
+            tx[text_col].take(pa.array(lidx)), sep)
         keeps_arr = keep["__keep__"].take(pa.array(ridx))
         if isinstance(keeps_arr, pa.ChunkedArray):
             keeps_arr = keeps_arr.combine_chunks()
@@ -217,7 +220,7 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
         off2 = np.concatenate(([0], np.cumsum(kcnt))).astype(np.int32)
         joined = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(off2, pa.int32()), paras),
-            "\n\n")
+            sep)
         tbl = pa.table({id_col: tx[id_col].take(pa.array(lidx)),
                         text_col: joined.cast(
                             tx.schema.field(text_col).type)})
@@ -230,6 +233,21 @@ def dedup_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
     return unioned \
         .groupby("__bkt__", num_partitions=shuffle_partitions(num_buckets)) \
         .map_groups(bucket_rebuild, batch_format="pyarrow")
+
+
+def dedup_lines(ds: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id",
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Line-level exact dedup — the finer-than-paragraph repeated-span
+    rule (RefinedWeb-style cross-document boilerplate removal): each
+    distinct non-blank LINE survives only at its first (doc_id, line
+    index) occurrence; every doc is rebuilt from its surviving lines
+    (emptied docs dropped). Reuses the dedup_paragraphs machinery
+    (slim hash explode with map-side combine -> one bucketed
+    first-occurrence shuffle -> one fused doc-bucket rebuild shuffle)
+    at newline granularity."""
+    return dedup_paragraphs(ds, text_col, id_col, num_buckets,
+                            sep="\n")
 
 
 def _ngram_hash_set(texts, n: int) -> np.ndarray:

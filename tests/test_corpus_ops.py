@@ -272,3 +272,64 @@ def test_decontaminate_survives_actor_kill(ray_session):
     for b in it:
         total += b.num_rows
     assert total == 4000
+
+
+def _brute_line_dedup(docs):
+    seen, out = set(), {}
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        keep = []
+        for p in d["text"].split("\n"):
+            if not p.strip():
+                continue
+            if p not in seen:
+                seen.add(p)
+                keep.append(p)
+        if keep:
+            out[d["doc_id"]] = "\n".join(keep)
+    return out
+
+
+def test_dedup_lines_matches_brute(ray_session):
+    from openmldb_ray.ops.corpus_ops import dedup_lines
+    rng = np.random.default_rng(11)
+    pool = [f"line {i} with words" for i in range(15)]
+    docs = [{"doc_id": i,
+             "text": "\n".join(rng.choice(pool,
+                                          size=rng.integers(1, 7)))}
+            for i in range(50)]
+    ds = ray.data.from_items(docs).repartition(4)
+    got = dedup_lines(ds, num_buckets=8).to_pandas()
+    assert dict(zip(got["doc_id"], got["text"])) == _brute_line_dedup(docs)
+    all_lines = [ln for t in got["text"] for ln in t.split("\n")]
+    assert len(all_lines) == len(set(all_lines))
+
+
+def test_dedup_lines_vs_duckdb_oracle(ray_session):
+    """Independent-engine cross-check on the real documents table at
+    line granularity (same formulation as the paragraph oracle)."""
+    import duckdb
+
+    from openmldb_ray.ops.corpus_ops import dedup_lines
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = dedup_lines(docs, num_buckets=8).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    exp = con.execute("""
+        WITH lines AS (
+          SELECT doc_id, p.ln, p.idx - 1 AS idx
+          FROM documents,
+          LATERAL (SELECT unnest(str_split(text, chr(10))) AS ln,
+                   generate_subscripts(
+                     str_split(text, chr(10)), 1) AS idx) p
+          WHERE trim(p.ln) <> ''),
+        surv AS (
+          SELECT doc_id, ln, idx FROM lines
+          QUALIFY row_number() OVER (PARTITION BY ln
+                                     ORDER BY doc_id, idx) = 1)
+        SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text
+        FROM surv GROUP BY doc_id""").df()
+    assert dict(zip(got["doc_id"], got["text"])) == \
+        dict(zip(exp["doc_id"], exp["text"]))

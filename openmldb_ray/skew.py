@@ -289,7 +289,7 @@ class _BlockSummary:
         self.asof_modulo = asof_modulo
         self.verify_sorted = verify_sorted
 
-    def __call__(self, b: pa.Table) -> pa.Table:
+    def __call__(self, b: pa.Table, key: str | None = None) -> pa.Table:
         if b.num_rows == 0:
             return self._empty()
         if self.verify_sorted:
@@ -315,7 +315,12 @@ class _BlockSummary:
         dim_last_ts, dim_last_pay = -1, 0
         if self.asof_modulo is not None and k:
             from openmldb_ray.pipelines.corpus import _doc_idx
-            idx = _doc_idx(b[self.order_col])
+            # single-entity segment: every doc_id shares the
+            # "<key>-" prefix, so the RE2 strip reduces to a
+            # constant-offset slice (see _doc_idx docstring)
+            idx = _doc_idx(b[self.order_col],
+                           prefix_len=None if key is None
+                           else len(key) + 1)
             dims = np.flatnonzero((idx % self.asof_modulo) == 0)
             if len(dims):
                 dim_last_ts = int(local_ts[dims[-1]])
@@ -582,7 +587,10 @@ class _BlockWindow:
             # co-partitioned as-of dim: local dim rows + the carried
             # newest-before-block dim row from the driver plan
             from openmldb_ray.pipelines.corpus import _doc_idx
-            idx = _doc_idx(b[self.order_col])
+            # single-key block: "<key_value>-" prefix is constant, so
+            # the RE2 strip reduces to a constant-offset slice
+            idx = _doc_idx(b[self.order_col],
+                           prefix_len=len(self.key_value) + 1)
             dims = (idx % self.asof_modulo) == 0
             dts = local_ts[dims]
             dpay = v[dims]
@@ -719,7 +727,7 @@ class _MultiSummary:
                                     self.cuts)
         outs = []
         for lo, hi, k in segs:
-            t = self.inner(b2.slice(lo, hi - lo))
+            t = self.inner(b2.slice(lo, hi - lo), key=k)
             outs.append(t.append_column(
                 "__src__", pa.array([k], type=pa.string())))
         # one chunk per column: a per-segment-chunked table costs
